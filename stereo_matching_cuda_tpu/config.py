@@ -1,0 +1,90 @@
+"""Configuration for the TPU-native dense stereo engine.
+
+The reference implementation (hamza1030/stereo_matching_cuda) exposes every
+tunable as a compile-time ``#define`` in ``SystemIncludes.h:6-24``.  Here they
+become a frozen (hashable, jit-static) dataclass whose defaults reproduce the
+reference numerics exactly:
+
+  - ``R_W/G_W/B_W`` grayscale weights (note blue weight 0.0721, *not* the
+    standard 0.114 — replicated for parity; SystemIncludes.h:7-9)
+  - ``ALPHA`` gradient/color blend (SystemIncludes.h:10)
+  - ``D_MIN/D_MAX`` disparity range (SystemIncludes.h:11-12)
+  - ``TH_grad/TH_color`` truncation thresholds (SystemIncludes.h:13-14)
+  - ``RADIUS`` box-filter radius → 19x19 window (SystemIncludes.h:21)
+  - ``EPS`` guided-filter regularizer = (0.01*255)^2 (SystemIncludes.h:23)
+  - ``D_LR`` left-right check tolerance (SystemIncludes.h:24)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """All tunables of the stereo pipeline. Hashable → usable as a jit
+    static argument."""
+
+    # Grayscale weights (SystemIncludes.h:7-9).
+    r_w: float = 0.299
+    g_w: float = 0.587
+    b_w: float = 0.0721
+
+    # Cost blend & truncation (SystemIncludes.h:10,13-14).
+    alpha: float = 0.9
+    th_color: float = 7.0
+    th_grad: float = 2.0
+
+    # Disparity search range, inclusive (SystemIncludes.h:11-12).
+    d_min: int = -15
+    d_max: int = 0
+
+    # Guided filter (SystemIncludes.h:21,23).
+    radius: int = 9
+    eps: float = 6.5025
+
+    # Left-right consistency tolerance (SystemIncludes.h:24).
+    d_lr: int = 0
+
+    # --- framework knobs (no reference equivalent) ---------------------
+    # Number of disparity slices processed per scan step in the guided
+    # filter (bounds peak HBM for large volumes). None = all at once.
+    d_chunk: Optional[int] = None
+    # Compute dtype of the filtering path. float32 reproduces the
+    # reference; bfloat16 is the fast path (disparity-level parity only).
+    dtype: str = "float32"
+
+    # ------------------------------------------------------------------
+    @property
+    def size_d(self) -> int:
+        """Number of disparity hypotheses (main.cu:70)."""
+        return self.d_max - self.d_min + 1
+
+    @property
+    def d_min_right(self) -> int:
+        """Disparity offset of the right view's cost volume: labels are
+        ``d_min_right + s`` for slice s (main.cu:81-82)."""
+        return -self.d_max
+
+    @property
+    def d_occlusion(self) -> int:
+        """Sentinel written into LR-inconsistent pixels (main.cu:149)."""
+        return self.d_min - 100
+
+    @property
+    def v_min(self) -> int:
+        """Occlusion-fill validity threshold (main.cu:154)."""
+        return self.d_min
+
+    @property
+    def window(self) -> int:
+        """Box window edge length."""
+        return 2 * self.radius + 1
+
+    def disparities(self, dmin: Optional[int] = None) -> Tuple[int, ...]:
+        base = self.d_min if dmin is None else dmin
+        return tuple(base + s for s in range(self.size_d))
+
+
+DEFAULT_CONFIG = StereoConfig()

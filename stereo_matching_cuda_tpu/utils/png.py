@@ -1,0 +1,145 @@
+"""Minimal dependency-free PNG codec (8-bit, non-interlaced).
+
+The reference vendors stb_image / stb_image_write (single-header C
+libraries) as its image I/O layer (SystemIncludes.h:3-5, main.cu:57-58,
+162-181).  This module is the framework's pure-Python fallback; the
+C++ native codec in ``native/stereoio`` (loaded via ctypes in
+``stereo_matching_cuda_tpu.utils.io``) is the fast path.
+
+Supports reading color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A),
+6 (RGBA) at bit depth 8, and writing gray / RGB / RGBA.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def read_png(path: str) -> np.ndarray:
+    """Returns uint8 array of shape (H, W) for grayscale or (H, W, C)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != _MAGIC:
+        raise ValueError(f"{path}: not a PNG file")
+    pos = 8
+    idat = bytearray()
+    palette = None
+    trns = None
+    w = h = bitdepth = color_type = interlace = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, bitdepth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError(f"{path}: missing IHDR")
+    if bitdepth != 8:
+        raise NotImplementedError(f"{path}: bit depth {bitdepth} unsupported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError(f"{path}: interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    expected = h * (stride + 1)
+    if len(raw) != expected:
+        raise ValueError(f"{path}: bad IDAT size {len(raw)} != {expected}")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    lines = raw[:, 1:]
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel (8-bit)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        line = lines[y].copy()
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 2:  # Up
+            cur = (line.astype(np.int32) + prev.astype(np.int32)).astype(np.uint8)
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"{path}: unknown filter {f}")
+        out[y] = cur
+        prev = cur
+
+    img = out.reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError(f"{path}: palette image without PLTE")
+        rgb = palette[img[..., 0]]
+        if trns is not None:
+            a = np.full((h, w, 1), 255, dtype=np.uint8)
+            a[..., 0] = np.where(img[..., 0] < len(trns), trns[img[..., 0]], 255)
+            return np.concatenate([rgb, a], axis=-1)
+        return rgb
+    if channels == 1:
+        return img[..., 0]
+    return img
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Writes uint8 (H,W) gray, (H,W,3) RGB or (H,W,4) RGBA."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        img = img[..., None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * channels)
+    raw = np.zeros((h, w * channels + 1), dtype=np.uint8)
+    raw[:, 1:] = flat  # filter type 0 per scanline
+    compressed = zlib.compress(raw.tobytes(), 6)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", compressed))
+        f.write(chunk(b"IEND", b""))
