@@ -1,0 +1,125 @@
+"""CLI driver — the reference's main() (main.cu:37-214), done right.
+
+The reference ignores argv and hardcodes ./data/tsukuba{0,1}.png
+(main.cu:57-58); every tunable is a compile-time #define.  Here every
+constant is a flag (defaults = reference values), and the 12 output
+PNGs of the reference are reproduced under --dump-intermediates.
+
+Usage:
+  python -m stereo_matching_cuda_tpu left.png right.png -o outdir/
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from .config import StereoConfig
+from . import reference as R
+from .utils.png import read_png, write_png
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="stereo_matching_cuda_tpu",
+        description="TPU-native cost-volume stereo with guided-filter aggregation",
+    )
+    p.add_argument("left", help="left image (PNG)")
+    p.add_argument("right", help="right image (PNG)")
+    p.add_argument("-o", "--out", default=".", help="output directory")
+    p.add_argument("--d-min", type=int, default=-15, help="min disparity (SystemIncludes.h:12)")
+    p.add_argument("--d-max", type=int, default=0, help="max disparity (SystemIncludes.h:11)")
+    p.add_argument("--alpha", type=float, default=0.9, help="gradient/color blend (SystemIncludes.h:10)")
+    p.add_argument("--th-color", type=float, default=7.0, help="color truncation (SystemIncludes.h:14)")
+    p.add_argument("--th-grad", type=float, default=2.0, help="gradient truncation (SystemIncludes.h:13)")
+    p.add_argument("--radius", type=int, default=9, help="box filter radius (SystemIncludes.h:21)")
+    p.add_argument("--eps", type=float, default=6.5025, help="guided filter eps (SystemIncludes.h:23)")
+    p.add_argument("--d-lr", type=int, default=0, help="LR check tolerance (SystemIncludes.h:24)")
+    p.add_argument("--d-chunk", type=int, default=None,
+                   help="disparity slices per scan step (bounds peak HBM)")
+    p.add_argument("--exact", action="store_true",
+                   help="bit-exact parity mode (sequential integral images)")
+    p.add_argument("--oracle", action="store_true",
+                   help="run the NumPy golden oracle instead of the JAX pipeline")
+    p.add_argument("--dump-intermediates", action="store_true",
+                   help="write the reference's 12 debug PNGs (main.cu:162-181)")
+    p.add_argument("--json", action="store_true", help="print timing/stats as one JSON line")
+    return p
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return R.write_mat_normalize(np.asarray(mat, dtype=np.float32))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = StereoConfig(
+        d_min=args.d_min, d_max=args.d_max, alpha=args.alpha,
+        th_color=args.th_color, th_grad=args.th_grad, radius=args.radius,
+        eps=args.eps, d_lr=args.d_lr, d_chunk=args.d_chunk,
+        exact_integral=args.exact,
+    )
+    try:
+        left = read_png(args.left)
+        right = read_png(args.right)
+    except (OSError, ValueError, NotImplementedError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if left.ndim != 3 or right.ndim != 3:
+        print("error: inputs must be color images (H,W,C)", file=sys.stderr)
+        return 2
+    if left.shape != right.shape:
+        print(f"error: image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)
+        return 2
+
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    if args.oracle:
+        out = R.run_pipeline(left, right, cfg)
+        out["cost_left_s0"] = out["cost_left"][0]
+        out["cost_right_s0"] = out["cost_right"][0]
+    else:
+        from .pipeline import compute_disparity
+
+        out = compute_disparity(left, right, cfg, full_outputs=args.dump_intermediates)
+    dt = time.perf_counter() - t0
+
+    write_png(os.path.join(args.out, "disparity_mapl.png"), _normalize(out["disparity_left"]))
+    write_png(os.path.join(args.out, "disparity_mapr.png"), _normalize(out["disparity_right"]))
+    write_png(os.path.join(args.out, "occlu_mapl.png"), _normalize(out["occlusion"]))
+    write_png(os.path.join(args.out, "occlu_mapl_filled.png"), _normalize(out["occlusion_filled"]))
+    if args.dump_intermediates:
+        write_png(os.path.join(args.out, "image_left.png"), np.asarray(out["gray_left"]))
+        write_png(os.path.join(args.out, "image_right.png"), np.asarray(out["gray_right"]))
+        write_png(os.path.join(args.out, "image_mean_left.png"), np.asarray(out["mean_left"]))
+        write_png(os.path.join(args.out, "image_mean_right.png"), np.asarray(out["mean_right"]))
+        write_png(os.path.join(args.out, "best_costl.png"), _normalize(out["best_cost_left"]))
+        write_png(os.path.join(args.out, "best_costr.png"), _normalize(out["best_cost_right"]))
+        write_png(os.path.join(args.out, "cost_lminus15.png"), _normalize(out["cost_left_s0"]))
+        write_png(os.path.join(args.out, "cost_rminus15.png"), _normalize(out["cost_right_s0"]))
+
+    occl = np.asarray(out["occlusion"])
+    n_occl = int((occl.astype(np.int32) < cfg.v_min).sum())
+    stats = {
+        "height": int(left.shape[0]), "width": int(left.shape[1]),
+        "disparities": cfg.size_d, "seconds": round(dt, 4),
+        "occluded_pixels": n_occl,
+        "occluded_pct": round(100.0 * n_occl / occl.size, 2),
+        "backend": "oracle" if args.oracle else "jax",
+    }
+    if args.json:
+        print(json.dumps(stats))
+    else:
+        print(f"duration: {dt:.3f} s   ({stats['width']}x{stats['height']}, "
+              f"{cfg.size_d} disparities, {stats['occluded_pct']}% occluded)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,6 +54,12 @@ class StereoConfig:
     # Compute dtype of the filtering path. float32 reproduces the
     # reference; bfloat16 is the fast path (disparity-level parity only).
     dtype: str = "float32"
+    # Parity mode: compute integral-image cumsums with the reference's
+    # sequential left-to-right association (rowSum/colSum,
+    # integral.cu:78-131) via lax.scan instead of XLA's reassociating
+    # parallel cumsum.  Bit-exact vs the oracle, but serial — use for
+    # validation, not production.
+    exact_integral: bool = False
 
     # ------------------------------------------------------------------
     @property

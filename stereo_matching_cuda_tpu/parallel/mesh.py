@@ -1,0 +1,41 @@
+"""Mesh construction and halo-size computation."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from ..config import StereoConfig
+
+
+def make_mesh(b: int = 1, y: int = 1, x: int = 1, devices=None) -> Mesh:
+    """Mesh over ('b','y','x') = batch × tile-row × tile-col.
+
+    Axis order puts 'x' innermost so x-halo exchanges (the most frequent
+    collective: disparity shift + LR check reach along epipolar lines)
+    ride neighboring ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = b * y * x
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(b, y, x)
+    return Mesh(arr, ("b", "y", "x"))
+
+
+def pipeline_halo(cfg: StereoConfig) -> tuple[int, int]:
+    """(halo_y, halo_x) needed so a tile+halo region contains every
+    input of the full per-pixel pipeline:
+
+      x: max |d| disparity shift (cost volume reads I2[x+d],
+         costVolume.cu:187) + 1 (x-derivative stencil, costVolume.cu:364)
+         + 2·(R+1) (two chained box filters: q = box(a(box(p))),
+         guidedFilter.cu:171-238)
+      y: 2·(R+1)
+    """
+    shift = max(abs(cfg.d_min), abs(cfg.d_max), abs(cfg.d_min_right),
+                abs(cfg.d_min_right + cfg.size_d - 1))
+    box2 = 2 * (cfg.radius + 1)
+    return box2, shift + 1 + box2

@@ -1,0 +1,254 @@
+"""Sharded stereo pipeline: shard_map over a ('b','y','x') mesh.
+
+Decomposition (SURVEY.md §2.3 — designed, not mirrored; the reference is
+single-GPU):
+
+  * 'b'  — batch of frames (data parallel, zero communication)
+  * 'y','x' — spatial tile grid with ONE halo exchange of the grayscale
+    images per frame (halo = disparity shift + derivative + 2 chained
+    box-filter radii, see parallel.mesh.pipeline_halo), after which the
+    whole cost-volume + guided-filter + WTA chain is tile-local
+  * LR check — a second, 15-px halo exchange of the two disparity maps
+  * occlusion fill — two-level segmented scan: tile-local associative
+    scans + all_gather of per-row tile summaries along 'x'
+
+Border math: out-of-mesh halos arrive as ZEROS (ppermute), and all
+intermediate fields are masked to zero outside the global image, so a
+plain (unclamped) 4-tap window sum over the extended tile equals the
+reference's border-clamped window sum; the normalizer is the
+global-coordinate clamped area (guidedFilter.cu:305-318).  Tile results
+are therefore exact up to integral-image float association (the integral
+origin shifts per tile), which can flip exact WTA ties — tests bound the
+mismatch count vs the single-chip result.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import StereoConfig, DEFAULT_CONFIG
+from ..ops.boxfilter import box_sum, strict_mul
+from ..ops.guided import BEST_COST_INIT, _recip_var_eps, _chunk_wta
+from ..ops.image import rgb_to_grayscale, fl_to_ch
+from .halo import halo_exchange
+from .mesh import pipeline_halo
+
+
+def _global_area(gy: jax.Array, gx: jax.Array, h: int, w: int, r: int) -> jax.Array:
+    """Clamped window area at global coords (guidedFilter.cu:314-317)."""
+    ay = jnp.minimum(h - 1, gy + r) - jnp.maximum(-1, gy - r - 1)
+    ax = jnp.minimum(w - 1, gx + r) - jnp.maximum(-1, gx - r - 1)
+    return (ay[:, None] * ax[None, :]).astype(jnp.float32)
+
+
+def _shift_cols(arr: jax.Array, d: int) -> jax.Array:
+    """out[..., x] = arr[..., x+d], array-edge replicated (the replicated
+    values are never consumed: global-coordinate masks cover them)."""
+    if d == 0:
+        return arr
+    w = arr.shape[-1]
+    if d > 0:
+        pad = [(0, 0)] * (arr.ndim - 1) + [(0, d)]
+        return jnp.pad(arr, pad, mode="edge")[..., d:]
+    pad = [(0, 0)] * (arr.ndim - 1) + [(-d, 0)]
+    return jnp.pad(arr, pad, mode="edge")[..., :w]
+
+
+def _x_derivative_global(g: jax.Array, gx: jax.Array, w: int) -> jax.Array:
+    """Negated central difference with one-sided borders at the GLOBAL
+    image edges (costVolume.cu:362-378), on an extended tile."""
+    gi = g.astype(jnp.int32)
+    c1 = jnp.where(gx[None, :] < w - 1, _shift_cols(gi, 1), gi)   # in[id+1]
+    c2 = jnp.where(gx[None, :] > 0, _shift_cols(gi, -1), gi)     # in[id-1]
+    return (c2 - c1).astype(jnp.float32) * jnp.float32(0.5)
+
+
+def _local_cost_volume(g1, der1, g2, der2, gx, dmin, size_d, w, cfg, in_image):
+    """(He,We) extended tiles → (D,He,We) cost, zeroed outside image."""
+    alpha = jnp.float32(cfg.alpha)
+    th_color = jnp.float32(cfg.th_color)
+    th_grad = jnp.float32(cfg.th_grad)
+    one = jnp.float32(1)
+    oob = (one - alpha) * th_color + alpha * th_grad
+    g1i = g1.astype(jnp.int32)
+    g2i = g2.astype(jnp.int32)
+    slices = []
+    for s in range(size_d):
+        d = dmin + s
+        valid = ((gx + d >= 0) & (gx + d < w))[None, :]
+        diff = jnp.abs(g1i - _shift_cols(g2i, d)).astype(jnp.float32)
+        grad = jnp.abs(der1 - _shift_cols(der2, d))
+        c = strict_mul(one - alpha, jnp.minimum(diff, th_color)) + strict_mul(
+            alpha, jnp.minimum(grad, th_grad))
+        c = jnp.where(valid, c, oob)
+        slices.append(jnp.where(in_image, c, jnp.float32(0)))
+    return jnp.stack(slices, axis=0)
+
+
+def _local_guided_wta(g_ext, cost, area, in_image, dmin, cfg):
+    """Extended-tile guided filter + WTA; returns tile-cropped
+    (best, dmap, mean_u8) given crop slices applied by caller."""
+    r = cfg.radius
+    I = g_ext.astype(jnp.float32)  # zeros outside image (zero halos)
+    mean_i = box_sum(I, r) / area
+    var = box_sum(strict_mul(I, I), r) / area - strict_mul(mean_i, mean_i)
+    c = _recip_var_eps(var, cfg.eps)
+
+    mean_p = box_sum(cost, r) / area
+    mean_ip = box_sum(strict_mul(I[None], cost), r) / area
+    a = (mean_ip - strict_mul(mean_i[None], mean_p)) * c[None]
+    b = mean_p - strict_mul(mean_i[None], a)
+    zero = jnp.float32(0)
+    a = jnp.where(in_image[None], a, zero)
+    b = jnp.where(in_image[None], b, zero)
+    q = strict_mul(box_sum(a, r) / area, I[None]) + box_sum(b, r) / area
+    return q, mean_i
+
+
+def _combine_last_valid(vals, flags):
+    def combine(x, y):
+        xv, xf = x
+        yv, yf = y
+        return jnp.where(yf, yv, xv), xf | yf
+    return combine
+
+
+def _segmented_fill(occ, gx_tile, v_min, tx, cfg):
+    """Cross-tile occlusion fill along 'x' (occlusion.cu:134-176
+    semantics, race-free scan definition — see ops.occlusion)."""
+    vminf = jnp.float32(v_min)
+    occl = occ.astype(jnp.int32) < v_min
+    valid = occ >= vminf
+    vals = jnp.where(valid, occ, jnp.float32(0))
+
+    def scan(reverse):
+        def combine(x, y):
+            xv, xf = x
+            yv, yf = y
+            return jnp.where(yf, yv, xv), xf | yf
+        return jax.lax.associative_scan(
+            combine, (vals, valid), axis=vals.ndim - 1, reverse=reverse)
+
+    lv, lf = scan(False)
+    rv, rf = scan(True)
+
+    if tx > 1:
+        my = jax.lax.axis_index("x")
+        # forward carries: each tile's LAST (value, found) per row
+        lsum_v = jax.lax.all_gather(lv[..., -1], "x")   # (tx, B, Hl)
+        lsum_f = jax.lax.all_gather(lf[..., -1], "x")
+        cv = jnp.zeros_like(lsum_v[0])
+        cf = jnp.zeros_like(lsum_f[0])
+        for k in range(tx - 1):  # combine tiles strictly left of mine
+            take = (jnp.int32(k) < my) & lsum_f[k]
+            cv = jnp.where(take, lsum_v[k], cv)
+            cf = cf | take
+        lv = jnp.where(lf, lv, cv[..., None])
+        lf = lf | cf[..., None]
+        # backward carries: each tile's FIRST (value, found) per row
+        rsum_v = jax.lax.all_gather(rv[..., 0], "x")
+        rsum_f = jax.lax.all_gather(rf[..., 0], "x")
+        cv = jnp.zeros_like(rsum_v[0])
+        cf = jnp.zeros_like(rsum_f[0])
+        for k in range(tx - 1, 0, -1):  # tiles strictly right of mine
+            take = (jnp.int32(k) > my) & rsum_f[k]
+            cv = jnp.where(take, rsum_v[k], cv)
+            cf = cf | take
+        rv = jnp.where(rf, rv, cv[..., None])
+        rf = rf | cf[..., None]
+
+    dleft = jnp.where(lf, lv, vminf)
+    dright = jnp.where(rf, rv, vminf)
+    return jnp.where(occl, jnp.maximum(dleft, dright), occ)
+
+
+def sharded_stereo_pipeline(
+    rgb_left: jax.Array,
+    rgb_right: jax.Array,
+    mesh: Mesh,
+    cfg: StereoConfig = DEFAULT_CONFIG,
+) -> dict:
+    """(B,H,W,C) uint8 pair, sharded P('b','y','x') → dict of sharded
+    (B,H,W) outputs (disparity_left/right, occlusion, occlusion_filled,
+    best_cost_left, mean_left)."""
+    B, H, W = rgb_left.shape[:3]
+    nb, ty, tx = (mesh.shape[a] for a in ("b", "y", "x"))
+    if B % nb or H % ty or W % tx:
+        raise ValueError(f"shape {(B, H, W)} not divisible by mesh {(nb, ty, tx)}")
+    hl, wl = H // ty, W // tx
+    halo_y, halo_x = pipeline_halo(cfg)
+    halo_y, halo_x = min(halo_y, hl), min(halo_x, wl)
+    size_d = cfg.size_d
+    shift = 0 - min(cfg.d_min, cfg.d_min_right)
+
+    def local_fn(rgbl, rgbr):
+        # rgbl/rgbr: (Bl, hl, wl, C)
+        gl = rgb_to_grayscale(rgbl, cfg)
+        gr = rgb_to_grayscale(rgbr, cfg)
+
+        def extend(g):
+            g = halo_exchange(g, halo_y, "y", ty, dim=1)
+            return halo_exchange(g, halo_x, "x", tx, dim=2)
+
+        gle, gre = extend(gl), extend(gr)
+        y0 = jax.lax.axis_index("y") * hl
+        x0 = jax.lax.axis_index("x") * wl
+        gy = y0 - halo_y + jnp.arange(hl + 2 * halo_y, dtype=jnp.int32)
+        gx = x0 - halo_x + jnp.arange(wl + 2 * halo_x, dtype=jnp.int32)
+        in_image = ((gy >= 0) & (gy < H))[:, None] & ((gx >= 0) & (gx < W))[None, :]
+        area = _global_area(gy, gx, H, W, cfg.radius)
+        crop = lambda t: t[..., halo_y : halo_y + hl, halo_x : halo_x + wl]
+
+        def view(g1e, g2e, dmin):
+            def per_frame(g1f, g2f):
+                der1 = _x_derivative_global(g1f, gx, W)
+                der2 = _x_derivative_global(g2f, gx, W)
+                cost = _local_cost_volume(
+                    g1f, der1, g2f, der2, gx, dmin, size_d, W, cfg, in_image)
+                q, mean_i = _local_guided_wta(g1f, cost, area, in_image, dmin, cfg)
+                best, sidx = _chunk_wta(crop(q))
+                dmap = (dmin + sidx).astype(jnp.float32)
+                return best, dmap, fl_to_ch(crop(mean_i))
+            return jax.vmap(per_frame)(g1e, g2e)
+
+        best_l, dmap_l, mean_l = view(gle, gre, cfg.d_min)
+        best_r, dmap_r, _ = view(gre, gle, cfg.d_min_right)
+
+        # --- LR consistency: needs dispR at x + dL, reach = max |d| ---
+        dre = halo_exchange(dmap_r, shift, "x", tx, dim=2)
+        gx_t = x0 + jnp.arange(wl, dtype=jnp.int32)
+        d = dmap_l.astype(jnp.int32)
+        xs = gx_t[None, None, :] + d
+        in_range = (xs >= 0) & (xs < W)
+        # local index into the extended array; clip to stay in bounds
+        xl = jnp.clip(xs - (x0 - shift), 0, dre.shape[-1] - 1)
+        dprime = jnp.take_along_axis(dre, xl, axis=-1)
+        bad = jnp.abs(d.astype(jnp.float32) + dprime) > jnp.float32(cfg.d_lr)
+        occ = jnp.where((~in_range) | bad, jnp.float32(cfg.d_occlusion), dmap_l)
+
+        filled = _segmented_fill(occ, gx_t, cfg.v_min, tx, cfg)
+        return dmap_l, dmap_r, occ, filled, best_l, mean_l
+
+    spec_in = P("b", "y", "x", None)
+    spec_out = P("b", "y", "x")
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec_in, spec_in),
+        out_specs=(spec_out,) * 6,
+    )
+    dmap_l, dmap_r, occ, filled, best_l, mean_l = jax.jit(f)(rgb_left, rgb_right)
+    return {
+        "disparity_left": dmap_l,
+        "disparity_right": dmap_r,
+        "occlusion": occ,
+        "occlusion_filled": filled,
+        "best_cost_left": best_l,
+        "mean_left": mean_l,
+    }

@@ -1,0 +1,70 @@
+"""End-to-end stereo pipeline — one jitted XLA graph per frame.
+
+Mirrors the reference driver main() (main.cu:37-214): grayscale both
+views → cost volumes (left d∈[D_MIN,D_MAX], right d∈[-D_MAX,-D_MIN]) →
+guided-filter aggregation + WTA per view → LR consistency check on the
+left map → occlusion fill.  Unlike the reference (1,533 host↔device
+copies per frame), the whole frame is a single device computation; the
+only transfers are the two input images in and the requested outputs
+out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import StereoConfig, DEFAULT_CONFIG
+from . import ops
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "full_outputs"))
+def stereo_pipeline(
+    rgb_left: jax.Array,
+    rgb_right: jax.Array,
+    cfg: StereoConfig = DEFAULT_CONFIG,
+    full_outputs: bool = False,
+) -> dict:
+    """uint8 (H,W,C) ×2 → dict of outputs.
+
+    Always returns disparity_left/right, occlusion, occlusion_filled;
+    with ``full_outputs`` also the intermediates the reference writes as
+    PNGs (gray, mean, best_cost, cost slice 0) — main.cu:162-181.
+    """
+    gl = ops.rgb_to_grayscale(rgb_left, cfg)
+    gr = ops.rgb_to_grayscale(rgb_right, cfg)
+    cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
+    cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
+    best_l, dmap_l, mean_l = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
+    best_r, dmap_r, mean_r = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
+    occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
+    filled = ops.fill_occlusion(occ, cfg.v_min, cfg)
+    out = {
+        "disparity_left": dmap_l,
+        "disparity_right": dmap_r,
+        "occlusion": occ,
+        "occlusion_filled": filled,
+    }
+    if full_outputs:
+        out.update(
+            gray_left=gl, gray_right=gr,
+            mean_left=mean_l, mean_right=mean_r,
+            best_cost_left=best_l, best_cost_right=best_r,
+            cost_left_s0=cost_l[0], cost_right_s0=cost_r[0],
+        )
+    return out
+
+
+def compute_disparity(
+    rgb_left: np.ndarray,
+    rgb_right: np.ndarray,
+    cfg: StereoConfig = DEFAULT_CONFIG,
+    full_outputs: bool = False,
+) -> dict:
+    """Host-convenience wrapper: numpy in → numpy out, blocking."""
+    out = stereo_pipeline(jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)
+    return {k: np.asarray(v) for k, v in out.items()}
