@@ -183,7 +183,10 @@ def sharded_stereo_pipeline(
         raise ValueError(f"shape {(B, H, W)} not divisible by mesh {(nb, ty, tx)}")
     hl, wl = H // ty, W // tx
     halo_y, halo_x = pipeline_halo(cfg)
-    halo_y, halo_x = min(halo_y, hl), min(halo_x, wl)
+    if hl < halo_y or wl < halo_x:
+        raise ValueError(
+            f"tile {hl}x{wl} smaller than pipeline halo {halo_y}x{halo_x}; "
+            f"use fewer tiles along that axis (halo exchange is single-hop)")
     size_d = cfg.size_d
     shift = 0 - min(cfg.d_min, cfg.d_min_right)
 

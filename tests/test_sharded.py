@@ -1,0 +1,98 @@
+"""Multi-chip sharded pipeline on an 8-virtual-CPU-device mesh.
+
+Tile results are exact up to integral-image float association (the
+integral origin shifts per tile), which can flip near-tie WTA picks —
+verified to be ties (best-cost deltas ≤ 1e-4 at every flipped pixel).
+Real images (Tsukuba) flip <1e-4 of pixels; pure-noise frames flip
+~1e-3, so the oracle comparison uses Tsukuba and synthetic frames only
+exercise structure (batch consistency, mesh shapes, halo validation).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from stereo_matching_cuda_tpu import reference as R
+from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG as CFG
+from stereo_matching_cuda_tpu.parallel import make_mesh, pipeline_halo, sharded_stereo_pipeline
+
+from conftest import requires_reference
+
+MESHES = [(1, 2, 4), (1, 1, 8), (2, 2, 2), (1, 4, 2), (1, 1, 1)]
+
+
+def _synthetic_pair(h=96, w=320):
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(h, w + 32, 3), dtype=np.uint8)
+    sm = base.astype(np.float32)
+    sm = (sm + np.roll(sm, 1, 1) + np.roll(sm, -1, 1)) / 3
+    base = sm.astype(np.uint8)
+    return base[:, 16 : 16 + w][None], base[:, 10 : 10 + w][None]
+
+
+@pytest.fixture(scope="module")
+def tsukuba_oracle(tsukuba):
+    left, right = tsukuba
+    return left[None], right[None], R.run_pipeline(left, right, CFG)
+
+
+@requires_reference
+@pytest.mark.parametrize("bshape", MESHES)
+def test_sharded_matches_oracle_tsukuba(tsukuba_oracle, bshape):
+    left, right, oracle = tsukuba_oracle
+    b, ty, tx = bshape
+    if b * ty * tx > len(jax.devices()):
+        pytest.skip("not enough devices")
+    l = np.concatenate([left] * b)
+    r = np.concatenate([right] * b)
+    mesh = make_mesh(b, ty, tx)
+    out = sharded_stereo_pipeline(l, r, mesh, CFG)
+    n = oracle["disparity_left"].size
+    for key in ["disparity_left", "disparity_right", "occlusion", "occlusion_filled"]:
+        mism = int((np.asarray(out[key][0]) != oracle[key]).sum())
+        assert mism <= n * 2e-4, f"{key}: {mism}/{n} mismatches on mesh {bshape}"
+    np.testing.assert_array_equal(np.asarray(out["mean_left"][0]), oracle["mean_left"])
+
+
+def test_sharded_batch_frames_identical():
+    left, right = _synthetic_pair()
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    l = np.concatenate([left, left])
+    r = np.concatenate([right, right])
+    mesh = make_mesh(2, 2, 2)
+    out = sharded_stereo_pipeline(l, r, mesh, CFG)
+    for key, v in out.items():
+        a = np.asarray(v)
+        np.testing.assert_array_equal(a[0], a[1], err_msg=key)
+
+
+def test_sharded_single_device_equals_unsharded():
+    left, right = _synthetic_pair()
+    mesh = make_mesh(1, 1, 1)
+    out = sharded_stereo_pipeline(left, right, mesh, CFG)
+    from stereo_matching_cuda_tpu.pipeline import compute_disparity
+
+    ref = compute_disparity(left[0], right[0], CFG)
+    n = ref["disparity_left"].size
+    for key in ["disparity_left", "disparity_right", "occlusion", "occlusion_filled"]:
+        a = np.asarray(out[key][0])
+        mism = int((a != ref[key]).sum())
+        # same device count, but the tile pipeline masks/extends arrays
+        # differently, so near-ties can still flip on noise frames
+        assert mism <= n * 2e-3, f"{key}: {mism} mismatches 1-device-sharded vs unsharded"
+
+
+def test_sharded_rejects_tile_smaller_than_halo():
+    left, right = _synthetic_pair(h=96, w=128)
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(1, 1, 8)  # tile width 16 < halo 36
+    with pytest.raises(ValueError, match="halo"):
+        sharded_stereo_pipeline(left, right, mesh, CFG)
+
+
+def test_pipeline_halo_values():
+    hy, hx = pipeline_halo(CFG)
+    assert hy == 2 * (CFG.radius + 1) == 20
+    assert hx == 15 + 1 + 20  # max |d| + derivative + two box radii
