@@ -22,7 +22,7 @@ BASELINE_TSUKUBA_FPS = 1000.0 / (124.55 + 58.81)  # BASELINE.md: 5.45 fps
 def _load_tsukuba():
     d = "/root/reference/stereo_matching_cuda/data"
     try:
-        from stereo_matching_cuda_tpu.utils.png import read_png
+        from stereo_matching_cuda_tpu.utils.io import read_png
 
         return read_png(os.path.join(d, "tsukuba0.png")), read_png(
             os.path.join(d, "tsukuba1.png"))
@@ -78,27 +78,35 @@ def main():
         file=sys.stderr,
     )
 
-    # info: ~6 MP frame (the reference's "bike" scale), device-resident
-    try:
-        rng = np.random.default_rng(1)
-        big_l = rng.integers(0, 256, size=(1992, 3008, 3), dtype=np.uint8)
-        big_r = np.roll(big_l, 7, axis=1)
-        bl, br = jnp.asarray(big_l), jnp.asarray(big_r)
-        t_big = bench_fn(jit_run, (bl, br), iters=5, warmup=2)
-        print(
-            f"6MP full pipeline: {t_big*1e3:.1f} ms ({1.0/t_big:.2f} fps; "
-            f"reference bike ≈ 7715 ms)",
-            file=sys.stderr,
-        )
-    except Exception as e:  # pragma: no cover - HBM dependent
-        print(f"6MP bench skipped: {e}", file=sys.stderr)
-
+    # the driver's one JSON line — print before any optional extras so a
+    # timeout on the large-frame section can't eat the result
     print(json.dumps({
         "metric": "tsukuba_full_pipeline_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_TSUKUBA_FPS, 2),
-    }))
+    }), flush=True)
+
+    # optional: ~6 MP frame (the reference's "bike" scale).  The compile
+    # for this shape can take minutes, so it is opt-in.
+    if os.environ.get("STEREO_BENCH_BIG"):
+        import dataclasses
+
+        cfg_big = dataclasses.replace(DEFAULT_CONFIG, d_chunk=4)
+
+        def run_big(l, r):
+            return stereo_pipeline(l, r, cfg_big)["occlusion_filled"]
+
+        rng = np.random.default_rng(1)
+        big_l = rng.integers(0, 256, size=(1992, 3008, 3), dtype=np.uint8)
+        big_r = np.roll(big_l, 7, axis=1)
+        bl, br = jnp.asarray(big_l), jnp.asarray(big_r)
+        t_big = bench_fn(jax.jit(run_big), (bl, br), iters=3, warmup=1)
+        print(
+            f"6MP full pipeline: {t_big*1e3:.1f} ms ({1.0/t_big:.2f} fps; "
+            f"reference bike ≈ 7715 ms → {7.715/t_big:.0f}x)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

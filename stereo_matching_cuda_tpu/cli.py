@@ -22,7 +22,7 @@ import numpy as np
 
 from .config import StereoConfig
 from . import reference as R
-from .utils.png import read_png, write_png
+from .utils.io import read_png, write_png
 
 
 def build_parser() -> argparse.ArgumentParser:
