@@ -60,6 +60,11 @@ class StereoConfig:
     # parallel cumsum.  Bit-exact vs the oracle, but serial — use for
     # validation, not production.
     exact_integral: bool = False
+    # Use the fused Pallas cost+guided+WTA kernel (ops/pallas_guided.py)
+    # instead of the XLA op-by-op path.  "auto" = on TPU backends only;
+    # True/False force.  Mutually exclusive with exact_integral (the
+    # fused kernel is the fast path; ties may flip vs the oracle).
+    fused: str | bool = "auto"
 
     # ------------------------------------------------------------------
     @property

@@ -1,0 +1,237 @@
+"""Fused Pallas TPU kernel: cost volume + guided filter + WTA.
+
+The reference pipeline materializes the (D,H,W) cost volume in GPU
+memory and walks it with ~530 kernel launches and ~1,500 host copies
+per frame (SURVEY.md §3.4).  The XLA op-by-op path in ops/ already
+collapses that to one graph, but still materializes several
+volume-sized intermediates in HBM (cost, mean_p, mean_ip, a, b, q).
+
+This kernel is the speed-of-light redesign: HBM traffic is just the two
+grayscale images in and (best_cost, disparity) out.  Everything else —
+x-derivatives, per-disparity cost slices, six box filters, the guided
+coefficients and the streaming WTA — lives in VMEM for one image strip
+at a time:
+
+  grid = (n_strips,)       one program per y-strip of the image
+  strip input:   I_left, I_right extended by halo_y=2(R+1) rows and
+                 PX=max(|d|)+1+2(R+1) zero columns (built by XLA, so
+                 BlockSpecs stay non-overlapping)
+  in kernel:     for s in 0..D-1 (static unroll):
+                   cost slice (truncated AD + gradient AD, zero outside
+                   the image) → box means via VMEM cumsum + roll taps →
+                   a, b → q → streaming `best >= q` update
+                 (the reference's ascending-d dispSelect rule,
+                 guidedFilter.cu:403-411, is used literally)
+
+Border semantics match ops/ and the sharded tiles: zero padding outside
+the image + clamped-area normalizer from GLOBAL coordinates equals the
+reference's clamped integral windows (guidedFilter.cu:305-318).
+
+Float caveat (fast path): box sums use VMEM cumsum association and FMA
+contraction is not suppressed, so WTA near-ties can flip vs the oracle
+(~1e-4 of pixels on real images) — same tolerance class as the XLA fast
+mode.  Parity testing uses the unfused exact path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import StereoConfig, DEFAULT_CONFIG
+from .guided import BEST_COST_INIT
+
+
+def _pick_strip(h: int, w_ext: int, vmem_budget: int = 13 << 20) -> int:
+    """Largest strip height (multiple of 8) that fits VMEM.  Empirically
+    Mosaic keeps ~30 ext-strip-sized values live through the unrolled
+    d-loop (measured: sh=256, w_ext=512 → 17.2 MB)."""
+    for sh in (256, 128, 64, 32, 16, 8):
+        ext_rows = sh + 48  # halo_y rounded up
+        if 30 * ext_rows * w_ext * 4 <= vmem_budget and sh <= max(8, h):
+            return sh
+    return 8
+
+
+def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
+    """Circular roll with either sign (pltpu.roll wants shift >= 0):
+    out[i] = x[i - shift]."""
+    if shift == 0:
+        return x
+    n = x.shape[axis]
+    return pltpu.roll(x, shift % n, axis)
+
+
+def _forward_window_sum(x: jax.Array, k: int, axis: int) -> jax.Array:
+    """out[i] = sum_{j=0..k-1} x[i+j], via log-doubling partial sums
+    (Mosaic has no cumsum primitive).  Positions that wrap around the
+    array edge are garbage; callers only consume positions at least
+    halo away from edges."""
+    pows = {1: x}
+    p = 1
+    while p * 2 <= k:
+        pows[p * 2] = pows[p] + _roll(pows[p], -p, axis)
+        p *= 2
+    result = None
+    offset = 0
+    for p in sorted(pows, reverse=True):
+        if k & p:
+            term = _roll(pows[p], -offset, axis)
+            result = term if result is None else result + term
+            offset += p
+    return result
+
+
+def _box_sum_vmem(x: jax.Array, r: int) -> jax.Array:
+    """Unnormalized (2r+1)² centered window sum: separable forward
+    window sums rolled back by r along each axis."""
+    k = 2 * r + 1
+    sx = _roll(_forward_window_sum(x, k, 1), r, 1)
+    return _roll(_forward_window_sum(sx, k, 0), r, 0)
+
+
+def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
+    """out[., x] = x[., x+d] via circular roll (wrapped columns land in
+    the zero padding / masked region)."""
+    return _roll(x, -d, 1)
+
+
+def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
+                 sh: int, halo_y: int, px: int, w_ext: int):
+    r = cfg.radius
+    size_d = cfg.size_d
+    alpha = np.float32(cfg.alpha)
+    one = np.float32(1)
+    th_color = np.float32(cfg.th_color)
+    th_grad = np.float32(cfg.th_grad)
+    oob = (one - alpha) * th_color + alpha * th_grad
+    eps = np.float32(cfg.eps)
+    she = sh + 2 * halo_y
+
+    def kernel(i1_ref, i2_ref, best_ref, dmap_ref):
+        strip = pl.program_id(0)
+        y0 = strip * sh - halo_y  # global row of ext row 0
+        I1 = i1_ref[0]
+        I2 = i2_ref[0]
+
+        gx = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 1) - px
+        gy = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 0) + y0
+        in_img = (gx >= 0) & (gx < W) & (gy >= 0) & (gy < H)
+
+        # clamped-area normalizer from global coordinates
+        ay = (jnp.minimum(H - 1, gy + r) - jnp.maximum(-1, gy - r - 1))
+        ax = (jnp.minimum(W - 1, gx + r) - jnp.maximum(-1, gx - r - 1))
+        inv_area = one / (ay * ax).astype(jnp.float32)
+
+        def boxm(x):
+            return _box_sum_vmem(x, r) * inv_area
+
+        # x-derivative, one-sided at the global image edges
+        # (costVolume.cu:362-378)
+        def deriv(I):
+            c1 = jnp.where(gx < W - 1, _shift_x_vmem(I, 1), I)
+            c2 = jnp.where(gx > 0, _shift_x_vmem(I, -1), I)
+            return (c2 - c1) * np.float32(0.5)
+
+        der1 = deriv(I1)
+        der2 = deriv(I2)
+
+        mean_i = boxm(I1)
+        var = boxm(I1 * I1) - mean_i * mean_i
+        c = one / (var + eps)
+
+        best = jnp.full((sh, W), np.float32(BEST_COST_INIT), jnp.float32)
+        dmap = jnp.zeros((sh, W), jnp.float32)
+        crop = lambda t: t[halo_y : halo_y + sh, px : px + W]
+
+        for s in range(size_d):
+            d = dmin + s
+            I2s = _shift_x_vmem(I2, d)
+            d2s = _shift_x_vmem(der2, d)
+            valid = (gx + d >= 0) & (gx + d < W)
+            cost = (one - alpha) * jnp.minimum(jnp.abs(I1 - I2s), th_color) + (
+                alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
+            cost = jnp.where(in_img, jnp.where(valid, cost, oob), 0.0)
+            mean_p = boxm(cost)
+            mean_ip = boxm(I1 * cost)
+            a = (mean_ip - mean_i * mean_p) * c
+            b = mean_p - mean_i * a
+            a = jnp.where(in_img, a, 0.0)
+            b = jnp.where(in_img, b, 0.0)
+            q = crop(boxm(a)) * crop(I1) + crop(boxm(b))
+            upd = best >= q  # ascending d, >= : largest d wins ties
+            best = jnp.where(upd, q, best)
+            dmap = jnp.where(upd, np.float32(d), dmap)
+
+        best_ref[0] = best
+        dmap_ref[0] = dmap
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dmin", "cfg"))
+def guided_wta_fused(
+    gray1: jax.Array,
+    gray2: jax.Array,
+    dmin: int,
+    cfg: StereoConfig = DEFAULT_CONFIG,
+):
+    """uint8 (H,W) ×2 → (best_cost f32 (H,W), disparity f32 (H,W)).
+
+    One fused kernel for one view: cost vs `gray2`, aggregation guided
+    by `gray1`, streaming WTA with labels dmin+s.
+    """
+    H, W = gray1.shape
+    r = cfg.radius
+    halo_y = 2 * (r + 1) + 2  # q reach (2R+1) rounded up
+    shift = max(abs(cfg.d_min), abs(cfg.d_max),
+                abs(cfg.d_min_right), abs(cfg.d_min_right + cfg.size_d - 1))
+    px = shift + 1 + 2 * (r + 1)  # cost shift + derivative + box chain
+    w_ext = W + 2 * px
+    # round ext width up to a lane multiple
+    w_ext = ((w_ext + 127) // 128) * 128
+    sh = _pick_strip(H, w_ext)
+    n_strips = (H + sh - 1) // sh
+    h_pad = n_strips * sh
+
+    def prep(g):
+        I = g.astype(jnp.float32)
+        P = jnp.zeros((h_pad + 2 * halo_y, w_ext), jnp.float32)
+        P = jax.lax.dynamic_update_slice(P, I, (halo_y, px))
+        return jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(P, i * sh, sh + 2 * halo_y)
+             for i in range(n_strips)])
+
+    s1 = prep(gray1)
+    s2 = prep(gray2)
+    she = sh + 2 * halo_y
+
+    kernel = _make_kernel(cfg, dmin, H, W, sh, halo_y, px, w_ext)
+    best, dmap = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        in_specs=[
+            pl.BlockSpec((1, she, w_ext), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, she, w_ext), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sh, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sh, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_strips, sh, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_strips, sh, W), jnp.float32),
+        ],
+    )(s1, s2)
+    best = best.reshape(h_pad, W)[:H]
+    dmap = dmap.reshape(h_pad, W)[:H]
+    return best, dmap

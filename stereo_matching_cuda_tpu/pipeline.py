@@ -37,10 +37,22 @@ def stereo_pipeline(
     """
     gl = ops.rgb_to_grayscale(rgb_left, cfg)
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
-    cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
-    cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
-    best_l, dmap_l, mean_l = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
-    best_r, dmap_r, mean_r = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
+    use_fused = not full_outputs and (
+        cfg.fused is True
+        or (cfg.fused == "auto" and jax.default_backend() == "tpu"
+            and not cfg.exact_integral)
+    )
+    if use_fused:
+        from .ops.pallas_guided import guided_wta_fused
+
+        best_l, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
+        best_r, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
+        mean_l = mean_r = None
+    else:
+        cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
+        cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
+        best_l, dmap_l, mean_l = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
+        best_r, dmap_r, mean_r = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
     occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
     filled = ops.fill_occlusion(occ, cfg.v_min, cfg)
     out = {

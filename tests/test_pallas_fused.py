@@ -1,0 +1,73 @@
+"""Fused Pallas cost+guided+WTA kernel vs the oracle (interpret mode on
+CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+import pytest
+
+from stereo_matching_cuda_tpu import reference as R
+from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG as CFG
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pl, "pallas_call", interp)
+    yield
+
+
+def _pair(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(h, w + 32), dtype=np.uint8).astype(np.float32)
+    base = ((base + np.roll(base, 1, 1) + np.roll(base, -1, 1) + np.roll(base, 1, 0)) / 4
+            ).astype(np.uint8)
+    return base[:, 16 : 16 + w], base[:, 10 : 10 + w]
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (40, 384), (33, 130)])
+def test_fused_matches_oracle(shape):
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+    g1, g2 = _pair(*shape)
+    cost = R.cost_volume(g1, g2, CFG.d_min, CFG)
+    want_best, want_dmap, _ = R.guided_filter_wta(g1, cost, CFG.d_min, CFG)
+    best, dmap = guided_wta_fused(jnp.asarray(g1), jnp.asarray(g2), CFG.d_min, CFG)
+    best, dmap = np.asarray(best), np.asarray(dmap)
+    n = dmap.size
+    mism = int((dmap != want_dmap).sum())
+    assert mism <= max(4, n * 2e-3), f"{mism}/{n} disparity mismatches"
+    # any flip must be a near-tie, not a wrong window
+    np.testing.assert_allclose(best, want_best, atol=2e-3, rtol=1e-4)
+
+
+def test_fused_right_view():
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+    g1, g2 = _pair(48, 80, seed=9)
+    cost_r = R.cost_volume(g2, g1, CFG.d_min_right, CFG)
+    wb, wd, _ = R.guided_filter_wta(g2, cost_r, CFG.d_min_right, CFG)
+    best, dmap = guided_wta_fused(jnp.asarray(g2), jnp.asarray(g1), CFG.d_min_right, CFG)
+    mism = int((np.asarray(dmap) != wd).sum())
+    assert mism <= max(4, wd.size * 2e-3)
+
+
+@pytest.mark.skipif(jax.default_backend() == "tpu", reason="CPU interpret only")
+def test_fused_tsukuba_near_parity(tsukuba):
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+    left, right = tsukuba
+    gl = R.rgb_to_grayscale(left, CFG)
+    gr = R.rgb_to_grayscale(right, CFG)
+    cost = R.cost_volume(gl, gr, CFG.d_min, CFG)
+    _, want_dmap, _ = R.guided_filter_wta(gl, cost, CFG.d_min, CFG)
+    _, dmap = guided_wta_fused(jnp.asarray(gl), jnp.asarray(gr), CFG.d_min, CFG)
+    mism = int((np.asarray(dmap) != want_dmap).sum())
+    assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
