@@ -1,12 +1,18 @@
 """Benchmark harness — one JSON line on stdout for the driver.
 
 Headline metric: Tsukuba full-pipeline frames/s (both views, 16
-disparities, grayscale → cost → guided filter → WTA → LR → fill),
-including host→device input transfer, matching the reference baseline's
-"kernels + memcpy" accounting (BASELINE.md): GTX 1080 ≈ 183.4 ms/frame
-= 5.45 fps.
+disparities: grayscale → cost → guided filter → WTA → LR → fill).
+Reference baseline (BASELINE.md): GTX 1080, kernels + memcpy =
+183.4 ms/frame = 5.45 fps.
 
-Extra per-stage and large-frame numbers go to stderr.
+Timing methodology: on this TPU setup, dispatch is asynchronous and
+``block_until_ready`` does not reliably wait (measured impossible
+numbers: 5,580 TFLOP/s on a ~394-peak chip), so timing loops around
+dispatches are meaningless.  Instead N frames are chained INSIDE one
+jitted ``fori_loop`` (each iteration's input is perturbed by the
+previous output so nothing can be elided) and the wall time difference
+between an N-frame and a 1-frame executable — each forced by a scalar
+fetch — gives honest per-frame device time.
 """
 
 import json
@@ -16,7 +22,7 @@ import time
 
 import numpy as np
 
-BASELINE_TSUKUBA_FPS = 1000.0 / (124.55 + 58.81)  # BASELINE.md: 5.45 fps
+BASELINE_TSUKUBA_FPS = 1000.0 / (124.55 + 58.81)  # 5.45 fps (BASELINE.md)
 
 
 def _load_tsukuba():
@@ -32,16 +38,45 @@ def _load_tsukuba():
         return base[:, 16:], base[:, :-16]
 
 
-def bench_fn(fn, args, iters=20, warmup=3):
+def make_looped(cfg, n):
+    """jitted fn running the full pipeline n times, serially dependent."""
     import jax
+    import jax.numpy as jnp
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    from stereo_matching_cuda_tpu.pipeline import stereo_pipeline
+
+    def step(i, carry):
+        li, ri = carry
+        out = stereo_pipeline(li, ri, cfg)["occlusion_filled"]
+        li2 = li + (out[..., None].astype(jnp.uint8) & 1)
+        return (li2, ri)
+
+    def run(l, r):
+        lo, _ = jax.lax.fori_loop(0, n, step, (l, r))
+        return jnp.sum(lo.astype(jnp.float32))
+
+    return jax.jit(run)
+
+
+def _timeit(f, l, r):
+    t0 = time.time()
+    float(f(l, r))
+    return time.time() - t0
+
+
+def timed_frames(cfg, l, r, n_big=17, log=lambda *a: None):
+    f1 = make_looped(cfg, 1)
+    fn = make_looped(cfg, n_big)
+    t0 = time.time()
+    float(f1(l, r))
+    log(f"  N=1 first call (incl compile): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    float(fn(l, r))
+    log(f"  N={n_big} first call (incl compile): {time.time()-t0:.1f}s")
+    t1 = min(_timeit(f1, l, r), _timeit(f1, l, r))
+    tn = min(_timeit(fn, l, r), _timeit(fn, l, r))
+    per = (tn - t1) / (n_big - 1)
+    return per, t1, tn
 
 
 def main():
@@ -49,37 +84,19 @@ def main():
     import jax.numpy as jnp
 
     from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG
-    from stereo_matching_cuda_tpu.pipeline import stereo_pipeline
 
     left_np, right_np = _load_tsukuba()
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    log(f"device: {dev.device_kind} ({dev.platform})")
 
-    def run(l, r):
-        return stereo_pipeline(l, r, DEFAULT_CONFIG)["occlusion_filled"]
+    l = jnp.asarray(left_np)
+    r = jnp.asarray(right_np)
+    per, t1, tn = timed_frames(DEFAULT_CONFIG, l, r, log=log)
+    fps = 1.0 / per if per > 0 else float("inf")
+    log(f"tsukuba full pipeline: {per*1e3:.2f} ms/frame chained "
+        f"(t1={t1*1e3:.1f} ms, t17={tn*1e3:.1f} ms) -> {fps:.0f} fps")
 
-    jit_run = jax.jit(run)
-
-    # device-resident steady state (kernel time only)
-    l_dev = jnp.asarray(left_np)
-    r_dev = jnp.asarray(right_np)
-    t_dev = bench_fn(jit_run, (l_dev, r_dev))
-
-    # including H2D of the uint8 inputs (reference counted memcpys)
-    def with_h2d(l, r):
-        return jit_run(jnp.asarray(l), jnp.asarray(r))
-
-    t_h2d = bench_fn(with_h2d, (left_np, right_np))
-
-    fps = 1.0 / t_h2d
-    print(
-        f"tsukuba full pipeline: {t_dev*1e3:.2f} ms device-resident, "
-        f"{t_h2d*1e3:.2f} ms with H2D  ({fps:.1f} fps)",
-        file=sys.stderr,
-    )
-
-    # the driver's one JSON line — print before any optional extras so a
-    # timeout on the large-frame section can't eat the result
     print(json.dumps({
         "metric": "tsukuba_full_pipeline_fps",
         "value": round(fps, 2),
@@ -87,26 +104,17 @@ def main():
         "vs_baseline": round(fps / BASELINE_TSUKUBA_FPS, 2),
     }), flush=True)
 
-    # optional: ~6 MP frame (the reference's "bike" scale).  The compile
-    # for this shape can take minutes, so it is opt-in.
     if os.environ.get("STEREO_BENCH_BIG"):
         import dataclasses
-
-        cfg_big = dataclasses.replace(DEFAULT_CONFIG, d_chunk=4)
-
-        def run_big(l, r):
-            return stereo_pipeline(l, r, cfg_big)["occlusion_filled"]
 
         rng = np.random.default_rng(1)
         big_l = rng.integers(0, 256, size=(1992, 3008, 3), dtype=np.uint8)
         big_r = np.roll(big_l, 7, axis=1)
         bl, br = jnp.asarray(big_l), jnp.asarray(big_r)
-        t_big = bench_fn(jax.jit(run_big), (bl, br), iters=3, warmup=1)
-        print(
-            f"6MP full pipeline: {t_big*1e3:.1f} ms ({1.0/t_big:.2f} fps; "
-            f"reference bike ≈ 7715 ms → {7.715/t_big:.0f}x)",
-            file=sys.stderr,
-        )
+        cfg_big = dataclasses.replace(DEFAULT_CONFIG, fused=True)
+        per, t1, tn = timed_frames(cfg_big, bl, br, n_big=5, log=log)
+        log(f"6MP fused pipeline: {per*1e3:.1f} ms/frame "
+            f"({1/per:.2f} fps; reference bike ≈ 7715 ms -> {7.715/per:.0f}x)")
 
 
 if __name__ == "__main__":

@@ -9,20 +9,23 @@ from jax.sharding import Mesh
 from ..config import StereoConfig
 
 
-def make_mesh(b: int = 1, y: int = 1, x: int = 1, devices=None) -> Mesh:
-    """Mesh over ('b','y','x') = batch × tile-row × tile-col.
+def make_mesh(b: int = 1, y: int = 1, x: int = 1, d: int = 1, devices=None) -> Mesh:
+    """Mesh over ('b','d','y','x') = batch × disparity-range × tile-row ×
+    tile-col.
 
     Axis order puts 'x' innermost so x-halo exchanges (the most frequent
     collective: disparity shift + LR check reach along epipolar lines)
-    ride neighboring ICI links.
+    ride neighboring ICI links; the 'd' axis carries only the final
+    all_gather of per-range (best, dmap) pairs, so it sits outermost of
+    the spatial axes.
     """
     if devices is None:
         devices = jax.devices()
-    n = b * y * x
+    n = b * d * y * x
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(b, y, x)
-    return Mesh(arr, ("b", "y", "x"))
+    arr = np.asarray(devices[:n]).reshape(b, d, y, x)
+    return Mesh(arr, ("b", "d", "y", "x"))
 
 
 def pipeline_halo(cfg: StereoConfig) -> tuple[int, int]:

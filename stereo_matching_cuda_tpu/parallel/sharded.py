@@ -69,25 +69,56 @@ def _x_derivative_global(g: jax.Array, gx: jax.Array, w: int) -> jax.Array:
     return (c2 - c1).astype(jnp.float32) * jnp.float32(0.5)
 
 
-def _local_cost_volume(g1, der1, g2, der2, gx, dmin, size_d, w, cfg, in_image):
-    """(He,We) extended tiles → (D,He,We) cost, zeroed outside image."""
+def _cost_slice(g1i, der1, g2s, d2s, gx, d, w, cfg, in_image):
+    """One cost slice from pre-shifted right-view arrays; d may be a
+    traced int (disparity-sharded mode)."""
     alpha = jnp.float32(cfg.alpha)
     th_color = jnp.float32(cfg.th_color)
     th_grad = jnp.float32(cfg.th_grad)
     one = jnp.float32(1)
     oob = (one - alpha) * th_color + alpha * th_grad
+    valid = ((gx + d >= 0) & (gx + d < w))[None, :]
+    diff = jnp.abs(g1i - g2s).astype(jnp.float32)
+    grad = jnp.abs(der1 - d2s)
+    c = strict_mul(one - alpha, jnp.minimum(diff, th_color)) + strict_mul(
+        alpha, jnp.minimum(grad, th_grad))
+    c = jnp.where(valid, c, oob)
+    return jnp.where(in_image, c, jnp.float32(0))
+
+
+def _local_cost_volume(g1, der1, g2, der2, gx, dmin, size_d, w, cfg, in_image):
+    """(He,We) extended tiles → (D,He,We) cost, zeroed outside image.
+    dmin is STATIC here (static column shifts)."""
     g1i = g1.astype(jnp.int32)
     g2i = g2.astype(jnp.int32)
     slices = []
     for s in range(size_d):
         d = dmin + s
-        valid = ((gx + d >= 0) & (gx + d < w))[None, :]
-        diff = jnp.abs(g1i - _shift_cols(g2i, d)).astype(jnp.float32)
-        grad = jnp.abs(der1 - _shift_cols(der2, d))
-        c = strict_mul(one - alpha, jnp.minimum(diff, th_color)) + strict_mul(
-            alpha, jnp.minimum(grad, th_grad))
-        c = jnp.where(valid, c, oob)
-        slices.append(jnp.where(in_image, c, jnp.float32(0)))
+        slices.append(_cost_slice(
+            g1i, der1, _shift_cols(g2i, d), _shift_cols(der2, d),
+            gx, d, w, cfg, in_image))
+    return jnp.stack(slices, axis=0)
+
+
+def _local_cost_volume_dyn(g1, der1, g2, der2, gx, dmin_dyn, size_d, shift_max,
+                           w, cfg, in_image):
+    """Like _local_cost_volume but with a TRACED base disparity (the
+    'd' mesh axis shards the range, so each device's dmin differs).
+    Shifts use dynamic_slice on an edge-padded array."""
+    g1i = g1.astype(jnp.int32)
+    we = g2.shape[-1]
+    pad = [(0, 0)] * (g2.ndim - 1) + [(shift_max, shift_max)]
+    g2p = jnp.pad(g2.astype(jnp.int32), pad, mode="edge")
+    d2p = jnp.pad(der2, pad, mode="edge")
+
+    def shifted(arr, d):
+        return jax.lax.dynamic_slice_in_dim(arr, shift_max + d, we, axis=arr.ndim - 1)
+
+    slices = []
+    for s in range(size_d):
+        d = dmin_dyn + s
+        slices.append(_cost_slice(
+            g1i, der1, shifted(g2p, d), shifted(d2p, d), gx, d, w, cfg, in_image))
     return jnp.stack(slices, axis=0)
 
 
@@ -179,6 +210,7 @@ def sharded_stereo_pipeline(
     best_cost_left, mean_left)."""
     B, H, W = rgb_left.shape[:3]
     nb, ty, tx = (mesh.shape[a] for a in ("b", "y", "x"))
+    nd = mesh.shape.get("d", 1)
     if B % nb or H % ty or W % tx:
         raise ValueError(f"shape {(B, H, W)} not divisible by mesh {(nb, ty, tx)}")
     hl, wl = H // ty, W // tx
@@ -188,7 +220,12 @@ def sharded_stereo_pipeline(
             f"tile {hl}x{wl} smaller than pipeline halo {halo_y}x{halo_x}; "
             f"use fewer tiles along that axis (halo exchange is single-hop)")
     size_d = cfg.size_d
+    if size_d % nd:
+        raise ValueError(f"size_d {size_d} not divisible by d-axis size {nd}")
+    d_per = size_d // nd
     shift = 0 - min(cfg.d_min, cfg.d_min_right)
+    shift_max = max(abs(cfg.d_min), abs(cfg.d_max), abs(cfg.d_min_right),
+                    abs(cfg.d_min_right + size_d - 1))
 
     def local_fn(rgbl, rgbr):
         # rgbl/rgbr: (Bl, hl, wl, C)
@@ -208,17 +245,40 @@ def sharded_stereo_pipeline(
         area = _global_area(gy, gx, H, W, cfg.radius)
         crop = lambda t: t[..., halo_y : halo_y + hl, halo_x : halo_x + wl]
 
+        # disparity-range sharding: device k on the 'd' axis owns
+        # slices [k*d_per, (k+1)*d_per); the per-range winners are
+        # all_gathered and combined in ascending order, replicating the
+        # reference's streaming `best >= q` rule across chips.
+        d_idx = jax.lax.axis_index("d") if nd > 1 else 0
+
         def view(g1e, g2e, dmin):
             def per_frame(g1f, g2f):
                 der1 = _x_derivative_global(g1f, gx, W)
                 der2 = _x_derivative_global(g2f, gx, W)
-                cost = _local_cost_volume(
-                    g1f, der1, g2f, der2, gx, dmin, size_d, W, cfg, in_image)
+                if nd == 1:
+                    cost = _local_cost_volume(
+                        g1f, der1, g2f, der2, gx, dmin, size_d, W, cfg, in_image)
+                    dmin_loc = dmin
+                else:
+                    dmin_loc = dmin + d_idx * d_per
+                    cost = _local_cost_volume_dyn(
+                        g1f, der1, g2f, der2, gx, dmin_loc, d_per, shift_max,
+                        W, cfg, in_image)
                 q, mean_i = _local_guided_wta(g1f, cost, area, in_image, dmin, cfg)
                 best, sidx = _chunk_wta(crop(q))
-                dmap = (dmin + sidx).astype(jnp.float32)
+                dmap = (dmin_loc + sidx).astype(jnp.float32)
                 return best, dmap, fl_to_ch(crop(mean_i))
-            return jax.vmap(per_frame)(g1e, g2e)
+
+            best, dmap, mean = jax.vmap(per_frame)(g1e, g2e)
+            if nd > 1:
+                bests = jax.lax.all_gather(best, "d")   # (nd, Bl, hl, wl)
+                dmaps = jax.lax.all_gather(dmap, "d")
+                best, dmap = bests[0], dmaps[0]
+                for k in range(1, nd):
+                    upd = best >= bests[k]
+                    best = jnp.where(upd, bests[k], best)
+                    dmap = jnp.where(upd, dmaps[k], dmap)
+            return best, dmap, mean
 
         best_l, dmap_l, mean_l = view(gle, gre, cfg.d_min)
         best_r, dmap_r, _ = view(gre, gle, cfg.d_min_right)
@@ -245,6 +305,8 @@ def sharded_stereo_pipeline(
         mesh=mesh,
         in_specs=(spec_in, spec_in),
         out_specs=(spec_out,) * 6,
+        check_rep=False,  # outputs are replicated over 'd' by the
+                          # all_gather combine; the checker can't see it
     )
     dmap_l, dmap_r, occ, filled, best_l, mean_l = jax.jit(f)(rgb_left, rgb_right)
     return {

@@ -96,3 +96,42 @@ def test_pipeline_halo_values():
     hy, hx = pipeline_halo(CFG)
     assert hy == 2 * (CFG.radius + 1) == 20
     assert hx == 15 + 1 + 20  # max |d| + derivative + two box radii
+
+
+@requires_reference
+@pytest.mark.parametrize("kw", [dict(d=8), dict(d=4, x=2), dict(d=2, y=2, x=2),
+                                dict(b=2, d=2, x=2)])
+def test_disparity_sharded_matches_oracle(tsukuba_oracle, kw):
+    """The 'd' mesh axis shards the disparity range; per-range winners
+    are combined with the ascending `best >= q` rule across chips."""
+    left, right, oracle = tsukuba_oracle
+    b = kw.get("b", 1)
+    if b * kw.get("d", 1) * kw.get("y", 1) * kw.get("x", 1) > len(jax.devices()):
+        pytest.skip("not enough devices")
+    l = np.concatenate([left] * b)
+    r = np.concatenate([right] * b)
+    mesh = make_mesh(**kw)
+    out = sharded_stereo_pipeline(l, r, mesh, CFG)
+    n = oracle["disparity_left"].size
+    for key in ["disparity_left", "disparity_right", "occlusion_filled"]:
+        mism = int((np.asarray(out[key][0]) != oracle[key]).sum())
+        assert mism <= n * 2e-4, f"{key}: {mism}/{n} on mesh {kw}"
+
+
+def test_disparity_sharded_wide_range():
+    """64 disparities sharded over 8 chips vs the unsharded jnp path."""
+    import dataclasses
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cfg64 = dataclasses.replace(CFG, d_min=-63, d_max=0)
+    left, right = _synthetic_pair(h=64, w=320)
+    mesh = make_mesh(d=8)
+    out = sharded_stereo_pipeline(left, right, mesh, cfg64)
+    from stereo_matching_cuda_tpu.pipeline import compute_disparity
+
+    ref = compute_disparity(left[0], right[0], dataclasses.replace(cfg64, fused=False))
+    n = ref["disparity_left"].size
+    for key in ["disparity_left", "occlusion_filled"]:
+        mism = int((np.asarray(out[key][0]) != ref[key]).sum())
+        assert mism <= n * 2e-3, f"{key}: {mism}/{n}"
