@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump-intermediates", action="store_true",
                    help="write the reference's 12 debug PNGs (main.cu:162-181)")
     p.add_argument("--json", action="store_true", help="print timing/stats as one JSON line")
+    p.add_argument("--gt", default=None,
+                   help="ground-truth disparity PNG; adds bad-2.0 / EPE metrics")
+    p.add_argument("--gt-scale", type=float, default=1.0,
+                   help="GT PNG values are scale*|disparity| (e.g. 16 for Tsukuba GT)")
+    p.add_argument("--profile", action="store_true",
+                   help="print a per-stage device-time table (SURVEY.md §6 shape)")
     return p
 
 
@@ -113,6 +119,20 @@ def main(argv=None) -> int:
         "occluded_pct": round(100.0 * n_occl / occl.size, 2),
         "backend": "oracle" if args.oracle else "jax",
     }
+    if args.gt:
+        from .metrics import bad_pixel_rate, end_point_error
+
+        gt_img = read_png(args.gt).astype(np.float32)
+        if gt_img.ndim == 3:
+            gt_img = gt_img[..., 0]
+        gt = gt_img / np.float32(args.gt_scale)
+        disp = np.abs(np.asarray(out["occlusion_filled"], dtype=np.float32))
+        stats["bad_2_0_pct"] = round(bad_pixel_rate(disp, gt, 2.0), 3)
+        stats["epe"] = round(end_point_error(disp, gt), 3)
+    if args.profile:
+        from .profiling import stage_table, print_stage_table
+
+        print_stage_table(stage_table(left, right, cfg), file=sys.stderr)
     if args.json:
         print(json.dumps(stats))
     else:
