@@ -39,8 +39,21 @@ def detect_occlusion(
     x = jnp.arange(w, dtype=jnp.int32)
     xs = x[None, :] + d
     in_range = (xs >= 0) & (xs < w)
-    xc = jnp.clip(xs, 0, w - 1)
-    dprime = jnp.take_along_axis(disp_right, xc, axis=-1)
+    # dispR[x + d]: d takes only the size_d labels the WTA can emit, so
+    # the gather becomes a select over size_d statically-shifted copies
+    # of dispR (gathers are slow on the TPU VPU; shifts fuse).
+    labels = tuple(cfg.d_min + s for s in range(cfg.size_d))
+    dprime = jnp.zeros_like(disp_right)
+    for lab in labels:
+        if lab == 0:
+            shifted = disp_right
+        elif lab > 0:
+            pad = [(0, 0)] * (disp_right.ndim - 1) + [(0, lab)]
+            shifted = jnp.pad(disp_right, pad, mode="edge")[..., lab:]
+        else:
+            pad = [(0, 0)] * (disp_right.ndim - 1) + [(-lab, 0)]
+            shifted = jnp.pad(disp_right, pad, mode="edge")[..., :w]
+        dprime = jnp.where(d == lab, shifted, dprime)
     bad = jnp.abs(d.astype(jnp.float32) + dprime) > jnp.float32(cfg.d_lr)
     occl = (~in_range) | bad
     return jnp.where(occl, jnp.float32(d_occlusion), disp_left)

@@ -80,3 +80,16 @@ def compute_disparity(
     """Host-convenience wrapper: numpy in → numpy out, blocking."""
     out = stereo_pipeline(jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def stereo_pipeline_batch(
+    rgb_left: jax.Array,
+    rgb_right: jax.Array,
+    cfg: StereoConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Sequence throughput on one chip: (B,H,W,C) pairs, vmapped.
+
+    For multi-chip sequence throughput shard the batch over the 'b'
+    mesh axis instead (parallel.sharded_stereo_pipeline)."""
+    return jax.vmap(lambda l, r: stereo_pipeline(l, r, cfg))(rgb_left, rgb_right)

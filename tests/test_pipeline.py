@@ -79,3 +79,18 @@ def test_pipeline_small_random_exact(small_pair):
     for key in ["disparity_left", "disparity_right", "occlusion", "occlusion_filled",
                 "best_cost_left", "mean_left"]:
         np.testing.assert_array_equal(out[key], oracle[key], err_msg=key)
+
+
+def test_pipeline_batch_matches_single(small_pair):
+    import jax.numpy as jnp
+    from stereo_matching_cuda_tpu.pipeline import stereo_pipeline_batch
+
+    left, right = small_pair
+    batch_l = np.stack([left, left[:, ::-1]])
+    batch_r = np.stack([right, right[:, ::-1]])
+    out = stereo_pipeline_batch(jnp.asarray(batch_l), jnp.asarray(batch_r), EXACT)
+    single0 = compute_disparity(batch_l[0], batch_r[0], EXACT)
+    single1 = compute_disparity(batch_l[1], batch_r[1], EXACT)
+    for k in ["disparity_left", "occlusion_filled"]:
+        np.testing.assert_array_equal(np.asarray(out[k][0]), single0[k], err_msg=k)
+        np.testing.assert_array_equal(np.asarray(out[k][1]), single1[k], err_msg=k)
