@@ -47,15 +47,24 @@ from ..config import StereoConfig, DEFAULT_CONFIG
 from .guided import BEST_COST_INIT
 
 
-def _pick_strip(h: int, w_ext: int, vmem_budget: int = 13 << 20) -> int:
-    """Largest strip height (multiple of 8) that fits VMEM.  Empirically
-    Mosaic keeps ~30 ext-strip-sized values live through the unrolled
-    d-loop (measured: sh=256, w_ext=512 → 17.2 MB)."""
-    for sh in (256, 128, 64, 32, 16, 8):
-        ext_rows = sh + 48  # halo_y rounded up
-        if 30 * ext_rows * w_ext * 4 <= vmem_budget and sh <= max(8, h):
-            return sh
-    return 8
+def _pick_tiles(h: int, w: int, px: int, halo_y: int,
+                vmem_budget: int = 13 << 20) -> tuple[int, int]:
+    """(strip_height, tile_width) that fit VMEM.  Empirically Mosaic
+    keeps ~30 ext-tile-sized values live through the unrolled d-loop
+    (measured: sh=256, w_ext=512 → 17.2 MB).  Wide images tile in x as
+    well (the halo columns are recomputed per tile, ~2·px/tw overhead).
+    """
+    for tw in (w, 2048, 1024, 512, 256):
+        if tw > w:
+            continue
+        wte = ((tw + 2 * px + 127) // 128) * 128
+        for sh in (256, 128, 64, 32, 16, 8):
+            if sh > max(8, h):
+                continue
+            if 30 * (sh + 2 * halo_y) * wte * 4 <= vmem_budget:
+                if sh >= 32 or tw == 256:
+                    return sh, tw
+    return 8, 256
 
 
 def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
@@ -102,7 +111,7 @@ def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
 
 
 def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
-                 sh: int, halo_y: int, px: int, w_ext: int):
+                 sh: int, tw: int, nx: int, halo_y: int, px: int, w_ext: int):
     r = cfg.radius
     size_d = cfg.size_d
     alpha = np.float32(cfg.alpha)
@@ -114,12 +123,13 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
     she = sh + 2 * halo_y
 
     def kernel(i1_ref, i2_ref, best_ref, dmap_ref):
-        strip = pl.program_id(0)
-        y0 = strip * sh - halo_y  # global row of ext row 0
+        tile = pl.program_id(0)
+        y0 = (tile // nx) * sh - halo_y   # global row of ext row 0
+        x0 = (tile % nx) * tw - px        # global col of ext col 0
         I1 = i1_ref[0]
         I2 = i2_ref[0]
 
-        gx = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 1) - px
+        gx = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 1) + x0
         gy = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 0) + y0
         in_img = (gx >= 0) & (gx < W) & (gy >= 0) & (gy < H)
 
@@ -145,9 +155,9 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
         var = boxm(I1 * I1) - mean_i * mean_i
         c = one / (var + eps)
 
-        best = jnp.full((sh, W), np.float32(BEST_COST_INIT), jnp.float32)
-        dmap = jnp.zeros((sh, W), jnp.float32)
-        crop = lambda t: t[halo_y : halo_y + sh, px : px + W]
+        best = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
+        dmap = jnp.zeros((sh, tw), jnp.float32)
+        crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
 
         for s in range(size_d):
             d = dmin + s
@@ -192,29 +202,33 @@ def guided_wta_fused(
     shift = max(abs(cfg.d_min), abs(cfg.d_max),
                 abs(cfg.d_min_right), abs(cfg.d_min_right + cfg.size_d - 1))
     px = shift + 1 + 2 * (r + 1)  # cost shift + derivative + box chain
-    w_ext = W + 2 * px
-    # round ext width up to a lane multiple
-    w_ext = ((w_ext + 127) // 128) * 128
-    sh = _pick_strip(H, w_ext)
-    n_strips = (H + sh - 1) // sh
-    h_pad = n_strips * sh
+    sh, tw = _pick_tiles(H, W, px, halo_y)
+    w_ext = ((tw + 2 * px + 127) // 128) * 128
+    ny = (H + sh - 1) // sh
+    nx = (W + tw - 1) // tw
+    h_pad = ny * sh
+    w_pad = nx * tw
+    she = sh + 2 * halo_y
 
     def prep(g):
         I = g.astype(jnp.float32)
-        P = jnp.zeros((h_pad + 2 * halo_y, w_ext), jnp.float32)
+        P = jnp.zeros((h_pad + 2 * halo_y, w_pad + 2 * px + (w_ext - tw - 2 * px)),
+                      jnp.float32)
         P = jax.lax.dynamic_update_slice(P, I, (halo_y, px))
-        return jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(P, i * sh, sh + 2 * halo_y)
-             for i in range(n_strips)])
+        tiles = []
+        for i in range(ny):
+            row = jax.lax.dynamic_slice_in_dim(P, i * sh, she, axis=0)
+            for j in range(nx):
+                tiles.append(jax.lax.dynamic_slice_in_dim(row, j * tw, w_ext, axis=1))
+        return jnp.stack(tiles)
 
     s1 = prep(gray1)
     s2 = prep(gray2)
-    she = sh + 2 * halo_y
 
-    kernel = _make_kernel(cfg, dmin, H, W, sh, halo_y, px, w_ext)
+    kernel = _make_kernel(cfg, dmin, H, W, sh, tw, nx, halo_y, px, w_ext)
     best, dmap = pl.pallas_call(
         kernel,
-        grid=(n_strips,),
+        grid=(ny * nx,),
         in_specs=[
             pl.BlockSpec((1, she, w_ext), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -222,16 +236,19 @@ def guided_wta_fused(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, sh, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sh, tw), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sh, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sh, tw), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_strips, sh, W), jnp.float32),
-            jax.ShapeDtypeStruct((n_strips, sh, W), jnp.float32),
+            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32),
+            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32),
         ],
     )(s1, s2)
-    best = best.reshape(h_pad, W)[:H]
-    dmap = dmap.reshape(h_pad, W)[:H]
-    return best, dmap
+
+    def untile(t):
+        t = t.reshape(ny, nx, sh, tw).transpose(0, 2, 1, 3).reshape(h_pad, w_pad)
+        return t[:H, :W]
+
+    return untile(best), untile(dmap)

@@ -71,3 +71,23 @@ def test_fused_tsukuba_near_parity(tsukuba):
     _, dmap = guided_wta_fused(jnp.asarray(gl), jnp.asarray(gr), CFG.d_min, CFG)
     mism = int((np.asarray(dmap) != want_dmap).sum())
     assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
+
+
+def test_fused_x_tiled_matches_oracle(monkeypatch):
+    """Force (16, 256) tiles on a 64x600 frame (nx=3) — tile boundaries
+    must be seamless (mismatches are uniform ties, not edge artifacts)."""
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    monkeypatch.setattr(pg, "_pick_tiles", lambda *a, **k: (16, 256))
+    g1, g2 = _pair(64, 600)
+    cost = R.cost_volume(g1, g2, CFG.d_min, CFG)
+    want_best, want_dmap, _ = R.guided_filter_wta(g1, cost, CFG.d_min, CFG)
+    best, dmap = pg.guided_wta_fused(jnp.asarray(g1), jnp.asarray(g2), CFG.d_min, CFG)
+    dmap = np.asarray(dmap)
+    mism = int((dmap != want_dmap).sum())
+    assert mism <= dmap.size * 3e-3, f"{mism}/{dmap.size}"
+    # no clustering at the x=256/512 tile seams
+    bad_cols = np.argwhere(dmap != want_dmap)[:, 1]
+    near_seam = ((bad_cols >= 252) & (bad_cols <= 260)) | (
+        (bad_cols >= 508) & (bad_cols <= 516))
+    assert near_seam.sum() <= max(2, 0.2 * len(bad_cols))
