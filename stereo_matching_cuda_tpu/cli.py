@@ -56,11 +56,46 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GT PNG values are scale*|disparity| (e.g. 16 for Tsukuba GT)")
     p.add_argument("--profile", action="store_true",
                    help="print a per-stage device-time table (SURVEY.md §6 shape)")
+    p.add_argument("--sequence", action="store_true",
+                   help="left/right are DIRECTORIES of same-shaped frames; "
+                        "pairs are matched by sorted filename order and "
+                        "processed with one compiled executable")
     return p
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     return R.write_mat_normalize(np.asarray(mat, dtype=np.float32))
+
+
+def _run_sequence(args, cfg) -> int:
+    """Directory mode: stream pairs through one compiled pipeline."""
+    import glob
+
+    from .pipeline import compute_disparity
+
+    lefts = sorted(glob.glob(os.path.join(args.left, "*")))
+    rights = sorted(glob.glob(os.path.join(args.right, "*")))
+    if len(lefts) != len(rights) or not lefts:
+        print(f"error: need equal nonempty frame lists, got {len(lefts)} vs "
+              f"{len(rights)}", file=sys.stderr)
+        return 2
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    n = 0
+    for lp, rp in zip(lefts, rights):
+        left = read_png(lp)
+        right = read_png(rp)
+        out = compute_disparity(left, right, cfg)
+        stem = os.path.splitext(os.path.basename(lp))[0]
+        write_png(os.path.join(args.out, f"{stem}_disparity.png"),
+                  _normalize(out["occlusion_filled"]))
+        n += 1
+    dt = time.perf_counter() - t0
+    stats = {"frames": n, "seconds": round(dt, 3),
+             "fps": round(n / dt, 2) if dt else None}
+    print(json.dumps(stats) if args.json else
+          f"{n} frames in {dt:.2f} s ({stats['fps']} fps incl. PNG I/O)")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -71,6 +106,9 @@ def main(argv=None) -> int:
         eps=args.eps, d_lr=args.d_lr, d_chunk=args.d_chunk,
         exact_integral=args.exact,
     )
+    if args.sequence:
+        cfg2 = cfg
+        return _run_sequence(args, cfg2)
     try:
         left = read_png(args.left)
         right = read_png(args.right)
