@@ -51,9 +51,12 @@ class StereoConfig:
     # Number of disparity slices processed per scan step in the guided
     # filter (bounds peak HBM for large volumes). None = all at once.
     d_chunk: Optional[int] = None
-    # Compute dtype of the filtering path. float32 reproduces the
-    # reference; bfloat16 is the fast path (disparity-level parity only).
-    dtype: str = "float32"
+    # The filtering path is float32 by design, not configurable:
+    # a = (mean_Ip - mean_I·mean_p)·c cancels catastrophically and needs
+    # the full 24-bit mantissa — bf16's 8 bits would swamp the 1e-3-level
+    # q gaps that decide disparities.  The VPU runs f32 natively; the
+    # pipeline is compute- not bandwidth-bound in VMEM, so bf16 would
+    # buy little and cost accuracy.
     # Parity mode: compute integral-image cumsums with the reference's
     # sequential left-to-right association (rowSum/colSum,
     # integral.cu:78-131) via lax.scan instead of XLA's reassociating

@@ -15,5 +15,13 @@ per-tile summaries) for the cross-tile occlusion fill.
 
 from .mesh import make_mesh, pipeline_halo
 from .sharded import sharded_stereo_pipeline
+from .multihost import initialize, pod_mesh, from_host_batches
 
-__all__ = ["make_mesh", "pipeline_halo", "sharded_stereo_pipeline"]
+__all__ = [
+    "make_mesh",
+    "pipeline_halo",
+    "sharded_stereo_pipeline",
+    "initialize",
+    "pod_mesh",
+    "from_host_batches",
+]

@@ -135,3 +135,19 @@ def test_disparity_sharded_wide_range():
     for key in ["disparity_left", "occlusion_filled"]:
         mism = int((np.asarray(out[key][0]) != ref[key]).sum())
         assert mism <= n * 2e-3, f"{key}: {mism}/{n}"
+
+
+def test_multihost_single_process_path():
+    """pod_mesh/from_host_batches degrade to device_put single-process."""
+    from stereo_matching_cuda_tpu.parallel import from_host_batches, pod_mesh
+
+    if len(jax.devices()) != 8:
+        pytest.skip("expects 8 virtual devices")
+    mesh = pod_mesh(frames_per_host=2, x=2, d=2)
+    left, right = _synthetic_pair()
+    l = np.concatenate([left, left])
+    r = np.concatenate([right, right])
+    gl, gr = from_host_batches(mesh, l, r)
+    out = sharded_stereo_pipeline(gl, gr, mesh, CFG)
+    a = np.asarray(out["occlusion_filled"])
+    np.testing.assert_array_equal(a[0], a[1])
