@@ -54,17 +54,23 @@ def _pick_tiles(h: int, w: int, px: int, halo_y: int,
     (measured: sh=256, w_ext=512 → 17.2 MB).  Wide images tile in x as
     well (the halo columns are recomputed per tile, ~2·px/tw overhead).
     """
-    for tw in (w, 2048, 1024, 512, 256):
+    best = None
+    for tw in (w, 2048, 1024, 512, 384, 256):
         if tw > w:
             continue
         wte = ((tw + 2 * px + 127) // 128) * 128
         for sh in (256, 128, 64, 32, 16, 8):
             if sh > max(8, h):
                 continue
-            if 30 * (sh + 2 * halo_y) * wte * 4 <= vmem_budget:
-                if sh >= 32 or tw == 256:
-                    return sh, tw
-    return 8, 256
+            if 30 * (sh + 2 * halo_y) * wte * 4 > vmem_budget:
+                continue
+            # minimize recomputed halo area per retained pixel
+            overhead = ((sh + 2 * halo_y) * wte) / (sh * min(tw, w))
+            if best is None or overhead < best[0]:
+                best = (overhead, sh, tw)
+    if best is None:
+        return 8, 256
+    return best[1], best[2]
 
 
 def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
@@ -98,10 +104,29 @@ def _forward_window_sum(x: jax.Array, k: int, axis: int) -> jax.Array:
 
 def _box_sum_vmem(x: jax.Array, r: int) -> jax.Array:
     """Unnormalized (2r+1)² centered window sum: separable forward
-    window sums rolled back by r along each axis."""
+    window sums rolled back by r along each axis (VPU path)."""
     k = 2 * r + 1
     sx = _roll(_forward_window_sum(x, k, 1), r, 1)
     return _roll(_forward_window_sum(sx, k, 0), r, 0)
+
+
+def _band_matrix(n: int, r: int) -> jax.Array:
+    """(n, n) float32 with M[i, j] = (|i-j| <= r) — multiplying by it
+    sums a (2r+1) window (clamped at array edges)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (jnp.abs(i - j) <= r).astype(jnp.float32)
+
+
+def _box_sum_mxu(x: jax.Array, my: jax.Array, mx: jax.Array) -> jax.Array:
+    """Centered window sum as two banded matmuls — runs on the MXU,
+    which is otherwise idle in this elementwise-heavy kernel.  f32
+    matmul on TPU uses the 3-pass bf16 decomposition (~f32 accuracy;
+    fast-path tolerance covers the difference)."""
+    tmp = jax.lax.dot_general(
+        x, mx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        my, tmp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
@@ -138,8 +163,11 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
         ax = (jnp.minimum(W - 1, gx + r) - jnp.maximum(-1, gx - r - 1))
         inv_area = one / (ay * ax).astype(jnp.float32)
 
+        my = _band_matrix(she, r)
+        mx = _band_matrix(w_ext, r)
+
         def boxm(x):
-            return _box_sum_vmem(x, r) * inv_area
+            return _box_sum_mxu(x, my, mx) * inv_area
 
         # x-derivative, one-sided at the global image edges
         # (costVolume.cu:362-378)
