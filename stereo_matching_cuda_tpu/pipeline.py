@@ -37,10 +37,12 @@ def stereo_pipeline(
     """
     gl = ops.rgb_to_grayscale(rgb_left, cfg)
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
-    use_fused = not full_outputs and (
-        cfg.fused is True
-        or (cfg.fused == "auto" and jax.default_backend() == "tpu"
-            and not cfg.exact_integral)
+    # fused kernel requires a Mosaic (TPU) backend; "auto" also skips it
+    # in parity mode and when intermediates are requested
+    use_fused = (
+        not full_outputs
+        and jax.default_backend() == "tpu"
+        and (cfg.fused is True or (cfg.fused == "auto" and not cfg.exact_integral))
     )
     if use_fused:
         from .ops.pallas_guided import guided_wta_fused
