@@ -118,15 +118,16 @@ def _band_matrix(n: int, r: int) -> jax.Array:
     return (jnp.abs(i - j) <= r).astype(jnp.float32)
 
 
-def _box_sum_mxu(x: jax.Array, my: jax.Array, mx: jax.Array) -> jax.Array:
-    """Centered window sum as two banded matmuls — runs on the MXU,
-    which is otherwise idle in this elementwise-heavy kernel.  f32
-    matmul on TPU uses the 3-pass bf16 decomposition (~f32 accuracy;
-    fast-path tolerance covers the difference)."""
-    tmp = jax.lax.dot_general(
-        x, mx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+def _box_sum_hybrid(x: jax.Array, r: int, my: jax.Array) -> jax.Array:
+    """Centered window sum: x-direction via log-doubling rolls (lane
+    shifts are cheap on the VPU), y-direction as a banded matmul on the
+    otherwise-idle MXU (sublane shifts are the awkward axis; the band
+    matrix is only (she, she)).  f32 matmul on TPU uses the 3-pass bf16
+    decomposition (~f32 accuracy; fast-path tolerance covers it)."""
+    k = 2 * r + 1
+    sx = _roll(_forward_window_sum(x, k, 1), r, 1)
     return jax.lax.dot_general(
-        my, tmp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        my, sx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
@@ -164,10 +165,9 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
         inv_area = one / (ay * ax).astype(jnp.float32)
 
         my = _band_matrix(she, r)
-        mx = _band_matrix(w_ext, r)
 
         def boxm(x):
-            return _box_sum_mxu(x, my, mx) * inv_area
+            return _box_sum_hybrid(x, r, my) * inv_area
 
         # x-derivative, one-sided at the global image edges
         # (costVolume.cu:362-378)
