@@ -148,12 +148,24 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
     eps = np.float32(cfg.eps)
     she = sh + 2 * halo_y
 
-    def kernel(i1_ref, i2_ref, best_ref, dmap_ref):
+    def kernel(i1_hbm, i2_hbm, best_ref, dmap_ref, v1, v2, sems):
         tile = pl.program_id(0)
-        y0 = (tile // nx) * sh - halo_y   # global row of ext row 0
-        x0 = (tile % nx) * tw - px        # global col of ext col 0
-        I1 = i1_ref[0]
-        I2 = i2_ref[0]
+        ty = tile // nx
+        tx = tile % nx
+        y0 = ty * sh - halo_y   # global row of ext row 0
+        x0 = tx * tw - px       # global col of ext col 0
+        # DMA this tile's ext region from the zero-padded HBM images
+        # (padded origin is (halo_y, px), so HBM offsets are ty*sh, tx*tw)
+        d1 = pltpu.make_async_copy(
+            i1_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)], v1, sems.at[0])
+        d2 = pltpu.make_async_copy(
+            i2_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)], v2, sems.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+        I1 = v1[:]
+        I2 = v2[:]
 
         gx = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 1) + x0
         gy = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 0) + y0
@@ -239,16 +251,11 @@ def guided_wta_fused(
     she = sh + 2 * halo_y
 
     def prep(g):
+        """Zero-pad once; tiles are DMA'd by the kernel (no duplicated
+        halo strips in HBM, no per-tile slice graph)."""
         I = g.astype(jnp.float32)
-        P = jnp.zeros((h_pad + 2 * halo_y, w_pad + 2 * px + (w_ext - tw - 2 * px)),
-                      jnp.float32)
-        P = jax.lax.dynamic_update_slice(P, I, (halo_y, px))
-        tiles = []
-        for i in range(ny):
-            row = jax.lax.dynamic_slice_in_dim(P, i * sh, she, axis=0)
-            for j in range(nx):
-                tiles.append(jax.lax.dynamic_slice_in_dim(row, j * tw, w_ext, axis=1))
-        return jnp.stack(tiles)
+        P = jnp.zeros((h_pad + 2 * halo_y, (nx - 1) * tw + w_ext), jnp.float32)
+        return jax.lax.dynamic_update_slice(P, I, (halo_y, px))
 
     s1 = prep(gray1)
     s2 = prep(gray2)
@@ -258,10 +265,13 @@ def guided_wta_fused(
         kernel,
         grid=(ny * nx,),
         in_specs=[
-            pl.BlockSpec((1, she, w_ext), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, she, w_ext), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((she, w_ext), jnp.float32),
+            pltpu.VMEM((she, w_ext), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_specs=[
             pl.BlockSpec((1, sh, tw), lambda i: (i, 0, 0),
