@@ -238,7 +238,9 @@ def guided_wta_fused(
     """
     H, W = gray1.shape
     r = cfg.radius
-    halo_y = 2 * (r + 1) + 2  # q reach (2R+1) rounded up
+    # q reach is 2R+1 rows; round the halo so the ext-tile height is a
+    # sublane multiple (Mosaic DMA slices must align to the (8,128) tile)
+    halo_y = ((2 * (r + 1) + 2) + 7) // 8 * 8
     shift = max(abs(cfg.d_min), abs(cfg.d_max),
                 abs(cfg.d_min_right), abs(cfg.d_min_right + cfg.size_d - 1))
     px = shift + 1 + 2 * (r + 1)  # cost shift + derivative + box chain
