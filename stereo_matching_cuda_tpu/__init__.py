@@ -10,13 +10,15 @@ Layout:
   config     — frozen StereoConfig (reference #defines as defaults)
   reference  — sequential NumPy golden oracle (the parity contract)
   ops        — jnp/Pallas device ops, batched over disparity
-  pipeline   — jitted end-to-end single-chip pipeline
+  pipeline   — jitted end-to-end single-chip pipeline (+ batch vmap)
   parallel   — mesh/shard_map multi-chip pipeline (halo exchange,
-               disparity-sharded WTA)
-  models     — user-facing model classes (pipeline variants)
-  utils      — PNG I/O, visualization, timing
+               disparity-sharded WTA, multi-host batching)
+  metrics    — bad-N / EPE / occlusion statistics
+  profiling  — per-stage device timing + jax.profiler tracing
+  utils      — image I/O (native C++ codec with Python fallback)
 """
 
 from .config import StereoConfig, DEFAULT_CONFIG  # noqa: F401
+from .pipeline import compute_disparity  # noqa: F401
 
 __version__ = "0.1.0"

@@ -102,14 +102,6 @@ def _forward_window_sum(x: jax.Array, k: int, axis: int) -> jax.Array:
     return result
 
 
-def _box_sum_vmem(x: jax.Array, r: int) -> jax.Array:
-    """Unnormalized (2r+1)² centered window sum: separable forward
-    window sums rolled back by r along each axis (VPU path)."""
-    k = 2 * r + 1
-    sx = _roll(_forward_window_sum(x, k, 1), r, 1)
-    return _roll(_forward_window_sum(sx, k, 0), r, 0)
-
-
 def _band_matrix(n: int, r: int) -> jax.Array:
     """(n, n) float32 with M[i, j] = (|i-j| <= r) — multiplying by it
     sums a (2r+1) window (clamped at array edges)."""
