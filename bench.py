@@ -81,6 +81,12 @@ def timed_frames(cfg, l, r, n_big=17, log=lambda *a: None):
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs skip the multi-minute remote
+    # compiles (harmless if the backend ignores it)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/stereo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
 
     from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG
