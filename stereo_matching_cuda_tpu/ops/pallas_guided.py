@@ -12,16 +12,16 @@ x-derivatives, per-disparity cost slices, six box filters, the guided
 coefficients and the streaming WTA — lives in VMEM for one image strip
 at a time:
 
-  grid = (n_strips,)       one program per y-strip of the image
-  strip input:   I_left, I_right extended by halo_y=2(R+1) rows and
-                 PX=max(|d|)+1+2(R+1) zero columns (built by XLA, so
-                 BlockSpecs stay non-overlapping)
+  grid = (ny*nx,)          one program per (y-strip, x-tile)
+  inputs:        the two grayscale images, zero-padded once in HBM;
+                 each program DMAs its tile + halo (halo_y rows,
+                 px = max|d|+1+2(R+1) cols) into VMEM scratch
   in kernel:     for s in 0..D-1 (static unroll):
                    cost slice (truncated AD + gradient AD, zero outside
-                   the image) → box means via VMEM cumsum + roll taps →
-                   a, b → q → streaming `best >= q` update
-                 (the reference's ascending-d dispSelect rule,
-                 guidedFilter.cu:403-411, is used literally)
+                   the image) → box means (x: log-doubling lane rolls;
+                   y: banded matmul on the MXU) → a, b → q → streaming
+                   `best >= q` update (the reference's ascending-d
+                   dispSelect rule, guidedFilter.cu:403-411, literally)
 
 Border semantics match ops/ and the sharded tiles: zero padding outside
 the image + clamped-area normalizer from GLOBAL coordinates equals the
@@ -48,12 +48,10 @@ from .guided import BEST_COST_INIT
 
 
 def _pick_tiles(h: int, w: int, px: int, halo_y: int,
-                vmem_budget: int = 13 << 20) -> tuple[int, int]:
-    """(strip_height, tile_width) that fit VMEM.  Empirically Mosaic
-    keeps ~30 ext-tile-sized values live through the unrolled d-loop
-    (measured: sh=256, w_ext=512 → 17.2 MB).  Wide images tile in x as
-    well (the halo columns are recomputed per tile, ~2·px/tw overhead).
-    """
+                vmem_budget: int = int(15.7 * 2**20)) -> tuple[int, int]:
+    """(strip_height, tile_width) that fit VMEM; wide images tile in x
+    as well (halo rows/cols are recomputed per tile — the picker
+    minimizes that overhead subject to the VMEM estimate below)."""
     best = None
     for tw in (w, 2048, 1024, 512, 384, 256):
         if tw > w:
@@ -62,7 +60,12 @@ def _pick_tiles(h: int, w: int, px: int, halo_y: int,
         for sh in (256, 128, 64, 32, 16, 8):
             if sh > max(8, h):
                 continue
-            if 30 * (sh + 2 * halo_y) * wte * 4 > vmem_budget:
+            she = sh + 2 * halo_y
+            # ~45 ext-tile f32 values live through the unrolled d-loop
+            # (measured: she=176, wte=640 → 19.0 MB OOM; 176×512 fit),
+            # plus the (she, she) band matrix and 2 DMA scratch tiles.
+            est = (45 * she * wte + she * she) * 4
+            if est > vmem_budget:
                 continue
             # minimize recomputed halo area per retained pixel
             overhead = ((sh + 2 * halo_y) * wte) / (sh * min(tw, w))
