@@ -133,6 +133,9 @@ def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
 
 def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
                  sh: int, tw: int, nx: int, halo_y: int, px: int, w_ext: int):
+    """H, W are the GLOBAL image dims; the scalar-prefetch origin ref
+    holds the global (y, x) of the local padded array's interior origin
+    (0,0 single-chip; the tile corner under shard_map)."""
     r = cfg.radius
     size_d = cfg.size_d
     alpha = np.float32(cfg.alpha)
@@ -143,12 +146,12 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
     eps = np.float32(cfg.eps)
     she = sh + 2 * halo_y
 
-    def kernel(i1_hbm, i2_hbm, best_ref, dmap_ref, v1, v2, sems):
+    def kernel(origin_ref, i1_hbm, i2_hbm, best_ref, dmap_ref, v1, v2, sems):
         tile = pl.program_id(0)
         ty = tile // nx
         tx = tile % nx
-        y0 = ty * sh - halo_y   # global row of ext row 0
-        x0 = tx * tw - px       # global col of ext col 0
+        y0 = ty * sh - halo_y + origin_ref[0]   # global row of ext row 0
+        x0 = tx * tw - px + origin_ref[1]       # global col of ext col 0
         # DMA this tile's ext region from the zero-padded HBM images
         # (padded origin is (halo_y, px), so HBM offsets are ty*sh, tx*tw)
         d1 = pltpu.make_async_copy(
@@ -219,6 +222,65 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
     return kernel
 
 
+def fused_geometry(cfg: StereoConfig) -> tuple[int, int]:
+    """(halo_y, px): the kernel's required padding around the interior.
+    halo_y is the 2R+1 q-reach rounded to a sublane multiple (Mosaic DMA
+    slices must align to the (8,128) tile); px adds the disparity shift
+    and derivative reach."""
+    r = cfg.radius
+    halo_y = ((2 * (r + 1) + 2) + 7) // 8 * 8
+    shift = max(abs(cfg.d_min), abs(cfg.d_max),
+                abs(cfg.d_min_right), abs(cfg.d_min_right + cfg.size_d - 1))
+    px = shift + 1 + 2 * (r + 1)
+    return halo_y, px
+
+
+def _fused_tiles(p1, p2, origin, dmin, cfg, Hg, Wg, out_h, out_w,
+                 halo_y, px, sh, tw):
+    """Run the kernel over a pre-padded local image pair.
+
+    p1/p2: (ny*sh + 2*halo_y, (nx-1)*tw + w_ext) float32, interior at
+    (halo_y, px).  origin: int32[2] global coords of the interior
+    origin.  Returns (best, dmap) of shape (out_h, out_w).
+    """
+    w_ext = ((tw + 2 * px + 127) // 128) * 128
+    ny = (out_h + sh - 1) // sh
+    nx = (out_w + tw - 1) // tw
+    she = sh + 2 * halo_y
+
+    kernel = _make_kernel(cfg, dmin, Hg, Wg, sh, tw, nx, halo_y, px, w_ext)
+    best, dmap = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ny * nx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((she, w_ext), jnp.float32),
+                pltpu.VMEM((she, w_ext), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, sh, tw), lambda i, ref: (i, 0, 0)),
+                pl.BlockSpec((1, sh, tw), lambda i, ref: (i, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32),
+            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32),
+        ],
+    )(origin, p1, p2)
+
+    def untile(t):
+        t = t.reshape(ny, nx, sh, tw).transpose(0, 2, 1, 3)
+        return t.reshape(ny * sh, nx * tw)[:out_h, :out_w]
+
+    return untile(best), untile(dmap)
+
+
 @functools.partial(jax.jit, static_argnames=("dmin", "cfg"))
 def guided_wta_fused(
     gray1: jax.Array,
@@ -232,58 +294,53 @@ def guided_wta_fused(
     by `gray1`, streaming WTA with labels dmin+s.
     """
     H, W = gray1.shape
-    r = cfg.radius
-    # q reach is 2R+1 rows; round the halo so the ext-tile height is a
-    # sublane multiple (Mosaic DMA slices must align to the (8,128) tile)
-    halo_y = ((2 * (r + 1) + 2) + 7) // 8 * 8
-    shift = max(abs(cfg.d_min), abs(cfg.d_max),
-                abs(cfg.d_min_right), abs(cfg.d_min_right + cfg.size_d - 1))
-    px = shift + 1 + 2 * (r + 1)  # cost shift + derivative + box chain
+    halo_y, px = fused_geometry(cfg)
     sh, tw = _pick_tiles(H, W, px, halo_y)
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw
-    h_pad = ny * sh
-    w_pad = nx * tw
-    she = sh + 2 * halo_y
 
     def prep(g):
         """Zero-pad once; tiles are DMA'd by the kernel (no duplicated
         halo strips in HBM, no per-tile slice graph)."""
         I = g.astype(jnp.float32)
-        P = jnp.zeros((h_pad + 2 * halo_y, (nx - 1) * tw + w_ext), jnp.float32)
+        P = jnp.zeros((ny * sh + 2 * halo_y, (nx - 1) * tw + w_ext), jnp.float32)
         return jax.lax.dynamic_update_slice(P, I, (halo_y, px))
 
-    s1 = prep(gray1)
-    s2 = prep(gray2)
+    origin = jnp.zeros((2,), jnp.int32)
+    return _fused_tiles(prep(gray1), prep(gray2), origin, dmin, cfg,
+                        H, W, H, W, halo_y, px, sh, tw)
 
-    kernel = _make_kernel(cfg, dmin, H, W, sh, tw, nx, halo_y, px, w_ext)
-    best, dmap = pl.pallas_call(
-        kernel,
-        grid=(ny * nx,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((she, w_ext), jnp.float32),
-            pltpu.VMEM((she, w_ext), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, sh, tw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sh, tw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32),
-            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32),
-        ],
-    )(s1, s2)
 
-    def untile(t):
-        t = t.reshape(ny, nx, sh, tw).transpose(0, 2, 1, 3).reshape(h_pad, w_pad)
-        return t[:H, :W]
+def guided_wta_fused_local(
+    gray1_ext: jax.Array,
+    gray2_ext: jax.Array,
+    origin_y,
+    origin_x,
+    dmin: int,
+    cfg: StereoConfig,
+    global_h: int,
+    global_w: int,
+    tile_h: int,
+    tile_w: int,
+):
+    """shard_map-side entry: grayscale tiles ALREADY extended with
+    (halo_y, px) halos (real neighbor rows/cols via ppermute, zeros
+    beyond the global image), global origin of the tile's (0,0) given
+    as traced scalars.  Returns (best, dmap) for the (tile_h, tile_w)
+    interior."""
+    halo_y, px = fused_geometry(cfg)
+    assert gray1_ext.shape[0] == tile_h + 2 * halo_y, gray1_ext.shape
+    assert gray1_ext.shape[1] == tile_w + 2 * px, gray1_ext.shape
+    sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y)
+    w_ext = ((tw + 2 * px + 127) // 128) * 128
+    ny = (tile_h + sh - 1) // sh
+    nx = (tile_w + tw - 1) // tw
 
-    return untile(best), untile(dmap)
+    def prep(g):
+        P = jnp.zeros((ny * sh + 2 * halo_y, (nx - 1) * tw + w_ext), jnp.float32)
+        return jax.lax.dynamic_update_slice(P, g.astype(jnp.float32), (0, 0))
+
+    origin = jnp.stack([jnp.int32(origin_y), jnp.int32(origin_x)])
+    return _fused_tiles(prep(gray1_ext), prep(gray2_ext), origin, dmin, cfg,
+                        global_h, global_w, tile_h, tile_w, halo_y, px, sh, tw)

@@ -215,6 +215,18 @@ def sharded_stereo_pipeline(
         raise ValueError(f"shape {(B, H, W)} not divisible by mesh {(nb, ty, tx)}")
     hl, wl = H // ty, W // tx
     halo_y, halo_x = pipeline_halo(cfg)
+    # fused per-chip kernel: only for static per-device disparity ranges
+    # (the Mosaic d-loop uses static shifts)
+    use_fused = mesh.shape.get("d", 1) == 1 and (
+        cfg.fused is True
+        or (cfg.fused == "auto" and jax.default_backend() == "tpu"))
+    if use_fused:
+        from ..ops.pallas_guided import fused_geometry
+
+        ky, kx = fused_geometry(cfg)
+        halo_y, halo_x = max(halo_y, ky), max(halo_x, kx)
+        if ky != halo_y or kx != halo_x:
+            use_fused = False  # geometry mismatch; fall back to jnp path
     if hl < halo_y or wl < halo_x:
         raise ValueError(
             f"tile {hl}x{wl} smaller than pipeline halo {halo_y}x{halo_x}; "
@@ -252,6 +264,20 @@ def sharded_stereo_pipeline(
         d_idx = jax.lax.axis_index("d") if nd > 1 else 0
 
         def view(g1e, g2e, dmin):
+            if use_fused:
+                from ..ops.pallas_guided import guided_wta_fused_local
+
+                outs = []
+                for i in range(g1e.shape[0]):
+                    b, dm = guided_wta_fused_local(
+                        g1e[i], g2e[i], y0, x0, dmin, cfg, H, W, hl, wl)
+                    # mean for output parity: one box mean of the guide
+                    I = g1e[i].astype(jnp.float32)
+                    mean_i = box_sum(I, cfg.radius) / area
+                    outs.append((b, dm, fl_to_ch(crop(mean_i))))
+                best, dmap, mean = (jnp.stack([o[j] for o in outs]) for j in range(3))
+                return best, dmap, mean
+
             def per_frame(g1f, g2f):
                 der1 = _x_derivative_global(g1f, gx, W)
                 der2 = _x_derivative_global(g2f, gx, W)

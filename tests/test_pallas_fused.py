@@ -91,3 +91,25 @@ def test_fused_x_tiled_matches_oracle(monkeypatch):
     near_seam = ((bad_cols >= 252) & (bad_cols <= 260)) | (
         (bad_cols >= 508) & (bad_cols <= 516))
     assert near_seam.sum() <= max(2, 0.2 * len(bad_cols))
+
+
+def test_fused_inside_shard_map(tsukuba):
+    """Fused kernel composed with spatial sharding (forced on CPU via
+    interpret mode): tile origins flow in as scalar-prefetch args."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.parallel import make_mesh, sharded_stereo_pipeline
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    left, right = tsukuba
+    cfg_f = dataclasses.replace(CFG, fused=True)
+    mesh = make_mesh(1, 2, 2)
+    out = sharded_stereo_pipeline(left[None], right[None], mesh, cfg_f)
+    gl = R.rgb_to_grayscale(left, CFG)
+    gr = R.rgb_to_grayscale(right, CFG)
+    cost = R.cost_volume(gl, gr, CFG.d_min, CFG)
+    _, want_dmap, _ = R.guided_filter_wta(gl, cost, CFG.d_min, CFG)
+    dmap = np.asarray(out["disparity_left"][0])
+    mism = int((dmap != want_dmap).sum())
+    assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
