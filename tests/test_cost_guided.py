@@ -93,3 +93,30 @@ def test_wta_tie_breaking_largest_d_wins():
     assert (np.asarray(dmap) == CFG.d_max).all()  # largest d = dmin+15 = 0
     np.testing.assert_array_equal(np.asarray(dmap), want_dmap)
     np.testing.assert_array_equal(np.asarray(best), want_best)
+
+
+@pytest.mark.parametrize("radius", [1, 4])
+def test_guided_filter_wta_exact_other_radii(gray_pair, radius):
+    cfgr = dataclasses.replace(EXACT, radius=radius)
+    g1, g2 = gray_pair
+    cost = R.cost_volume(g1, g2, cfgr.d_min, cfgr)
+    want_best, want_dmap, want_mean = R.guided_filter_wta(g1, cost, cfgr.d_min, cfgr)
+    best, dmap, mean = ops.guided_filter_wta(jnp.asarray(g1), jnp.asarray(cost), cfgr.d_min, cfgr)
+    np.testing.assert_array_equal(np.asarray(mean), want_mean)
+    np.testing.assert_array_equal(np.asarray(best), want_best)
+    np.testing.assert_array_equal(np.asarray(dmap), want_dmap)
+
+
+def test_pipeline_narrow_disparity_range_exact(gray_pair):
+    """8-disparity range (d in [-7, 0]) through the oracle and the jnp
+    path; exercises non-default size_d everywhere."""
+    from stereo_matching_cuda_tpu.pipeline import compute_disparity
+
+    cfg8 = dataclasses.replace(EXACT, d_min=-7, d_max=0)
+    g1, g2 = gray_pair
+    rgb1 = np.repeat(g1[..., None], 3, axis=-1)
+    rgb2 = np.repeat(g2[..., None], 3, axis=-1)
+    oracle = R.run_pipeline(rgb1, rgb2, cfg8)
+    out = compute_disparity(rgb1, rgb2, cfg8)
+    for key in ["disparity_left", "disparity_right", "occlusion", "occlusion_filled"]:
+        np.testing.assert_array_equal(out[key], oracle[key], err_msg=key)
