@@ -131,11 +131,17 @@ def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
     return _roll(x, -d, 1)
 
 
-def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
+def _make_kernel(cfg: StereoConfig, H: int, W: int,
                  sh: int, tw: int, nx: int, halo_y: int, px: int, w_ext: int):
-    """H, W are the GLOBAL image dims; the scalar-prefetch origin ref
-    holds the global (y, x) of the local padded array's interior origin
-    (0,0 single-chip; the tile corner under shard_map)."""
+    """H, W are the GLOBAL image dims.  The scalar-prefetch ref holds
+    (origin_y, origin_x, dmin): the global coords of the local padded
+    array's interior origin (0,0 single-chip; the tile corner under
+    shard_map) and the base disparity label.  dmin is a runtime scalar
+    — the match image is PRE-SHIFTED by dmin on the XLA side, so the
+    kernel's per-slice shifts are the static s = 0..D-1 and the SAME
+    Mosaic program serves the left and right views (halves compile
+    work; composed-module compile time was superlinear in distinct
+    kernels)."""
     r = cfg.radius
     size_d = cfg.size_d
     alpha = np.float32(cfg.alpha)
@@ -152,6 +158,7 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
         tx = tile % nx
         y0 = ty * sh - halo_y + origin_ref[0]   # global row of ext row 0
         x0 = tx * tw - px + origin_ref[1]       # global col of ext col 0
+        dmin = origin_ref[2]
         # DMA this tile's ext region from the zero-padded HBM images
         # (padded origin is (halo_y, px), so HBM offsets are ty*sh, tx*tw)
         d1 = pltpu.make_async_copy(
@@ -180,14 +187,15 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
             return _box_sum_hybrid(x, r, my) * inv_area
 
         # x-derivative, one-sided at the global image edges
-        # (costVolume.cu:362-378)
-        def deriv(I):
-            c1 = jnp.where(gx < W - 1, _shift_x_vmem(I, 1), I)
-            c2 = jnp.where(gx > 0, _shift_x_vmem(I, -1), I)
+        # (costVolume.cu:362-378).  I2 is pre-shifted by dmin, so its
+        # sample at local x is the global column gx + dmin.
+        def deriv(I, g):
+            c1 = jnp.where(g < W - 1, _shift_x_vmem(I, 1), I)
+            c2 = jnp.where(g > 0, _shift_x_vmem(I, -1), I)
             return (c2 - c1) * np.float32(0.5)
 
-        der1 = deriv(I1)
-        der2 = deriv(I2)
+        der1 = deriv(I1, gx)
+        der2 = deriv(I2, gx + dmin)
 
         mean_i = boxm(I1)
         var = boxm(I1 * I1) - mean_i * mean_i
@@ -198,9 +206,9 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
         crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
 
         for s in range(size_d):
-            d = dmin + s
-            I2s = _shift_x_vmem(I2, d)
-            d2s = _shift_x_vmem(der2, d)
+            I2s = _shift_x_vmem(I2, s)       # = I2_orig at gx + dmin + s
+            d2s = _shift_x_vmem(der2, s)
+            d = dmin + s                      # runtime label
             valid = (gx + d >= 0) & (gx + d < W)
             cost = (one - alpha) * jnp.minimum(jnp.abs(I1 - I2s), th_color) + (
                 alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
@@ -214,7 +222,7 @@ def _make_kernel(cfg: StereoConfig, dmin: int, H: int, W: int,
             q = crop(boxm(a)) * crop(I1) + crop(boxm(b))
             upd = best >= q  # ascending d, >= : largest d wins ties
             best = jnp.where(upd, q, best)
-            dmap = jnp.where(upd, np.float32(d), dmap)
+            dmap = jnp.where(upd, d.astype(jnp.float32), dmap)
 
         best_ref[0] = best
         dmap_ref[0] = dmap
@@ -235,20 +243,21 @@ def fused_geometry(cfg: StereoConfig) -> tuple[int, int]:
     return halo_y, px
 
 
-def _fused_tiles(p1, p2, origin, dmin, cfg, Hg, Wg, out_h, out_w,
+def _fused_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
                  halo_y, px, sh, tw):
     """Run the kernel over a pre-padded local image pair.
 
-    p1/p2: (ny*sh + 2*halo_y, (nx-1)*tw + w_ext) float32, interior at
-    (halo_y, px).  origin: int32[2] global coords of the interior
-    origin.  Returns (best, dmap) of shape (out_h, out_w).
+    p1: interior at (halo_y, px); p2: interior PRE-SHIFTED to
+    (halo_y, px - dmin).  origin: int32[3] = (global y, global x of
+    p1's interior origin, dmin).  Returns (best, dmap) of
+    (out_h, out_w).
     """
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (out_h + sh - 1) // sh
     nx = (out_w + tw - 1) // tw
     she = sh + 2 * halo_y
 
-    kernel = _make_kernel(cfg, dmin, Hg, Wg, sh, tw, nx, halo_y, px, w_ext)
+    kernel = _make_kernel(cfg, Hg, Wg, sh, tw, nx, halo_y, px, w_ext)
     best, dmap = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -295,20 +304,25 @@ def guided_wta_fused(
     """
     H, W = gray1.shape
     halo_y, px = fused_geometry(cfg)
+    if not (-px <= dmin <= px):
+        raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
     sh, tw = _pick_tiles(H, W, px, halo_y)
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw
+    width = max((nx - 1) * tw + w_ext, W + 2 * px + abs(dmin))
 
-    def prep(g):
+    def prep(g, xoff):
         """Zero-pad once; tiles are DMA'd by the kernel (no duplicated
         halo strips in HBM, no per-tile slice graph)."""
         I = g.astype(jnp.float32)
-        P = jnp.zeros((ny * sh + 2 * halo_y, (nx - 1) * tw + w_ext), jnp.float32)
-        return jax.lax.dynamic_update_slice(P, I, (halo_y, px))
+        P = jnp.zeros((ny * sh + 2 * halo_y, width), jnp.float32)
+        return jax.lax.dynamic_update_slice(P, I, (halo_y, xoff))
 
-    origin = jnp.zeros((2,), jnp.int32)
-    return _fused_tiles(prep(gray1), prep(gray2), origin, dmin, cfg,
+    origin = jnp.array([0, 0, dmin], jnp.int32)
+    # the match image is placed dmin columns earlier so the kernel's
+    # static slice-s shifts read I2 at gx + dmin + s
+    return _fused_tiles(prep(gray1, px), prep(gray2, px - dmin), origin, cfg,
                         H, W, H, W, halo_y, px, sh, tw)
 
 
@@ -330,17 +344,21 @@ def guided_wta_fused_local(
     as traced scalars.  Returns (best, dmap) for the (tile_h, tile_w)
     interior."""
     halo_y, px = fused_geometry(cfg)
+    if not (-px <= dmin <= px):
+        raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
     assert gray1_ext.shape[0] == tile_h + 2 * halo_y, gray1_ext.shape
     assert gray1_ext.shape[1] == tile_w + 2 * px, gray1_ext.shape
     sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y)
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (tile_h + sh - 1) // sh
     nx = (tile_w + tw - 1) // tw
+    width = max((nx - 1) * tw + w_ext, tile_w + 2 * px + abs(dmin))
 
-    def prep(g):
-        P = jnp.zeros((ny * sh + 2 * halo_y, (nx - 1) * tw + w_ext), jnp.float32)
-        return jax.lax.dynamic_update_slice(P, g.astype(jnp.float32), (0, 0))
+    def prep(g, xoff):
+        P = jnp.zeros((ny * sh + 2 * halo_y, width), jnp.float32)
+        return jax.lax.dynamic_update_slice(P, g.astype(jnp.float32), (0, xoff))
 
-    origin = jnp.stack([jnp.int32(origin_y), jnp.int32(origin_x)])
-    return _fused_tiles(prep(gray1_ext), prep(gray2_ext), origin, dmin, cfg,
+    origin = jnp.stack(
+        [jnp.int32(origin_y), jnp.int32(origin_x), jnp.int32(dmin)])
+    return _fused_tiles(prep(gray1_ext, 0), prep(gray2_ext, -dmin), origin, cfg,
                         global_h, global_w, tile_h, tile_w, halo_y, px, sh, tw)
