@@ -111,15 +111,52 @@ def main():
     }), flush=True)
 
     if os.environ.get("STEREO_BENCH_BIG"):
-        import dataclasses
+        # XLA's compile time on the COMPOSED 6 MP module is pathological
+        # (>50 min; each stage alone compiles in seconds), so the big
+        # frame runs the stages as separate jits chained at the Python
+        # level; the data dependencies serialize execution and the final
+        # scalar fetch forces the whole chain.
+        from stereo_matching_cuda_tpu import ops
+        from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+        cfg = DEFAULT_CONFIG
+        gray = jax.jit(lambda x: ops.rgb_to_grayscale(x, cfg))
+        fused = jax.jit(lambda a, b, dm: guided_wta_fused(a, b, dm, cfg),
+                        static_argnums=2)
+        post = jax.jit(lambda dl, dr: ops.fill_occlusion(
+            ops.detect_occlusion(dl, dr, cfg.d_occlusion, cfg), cfg.v_min, cfg))
+        summ = jax.jit(lambda x: jnp.sum(x))
+        perturb = jax.jit(lambda l, f: l + (f[..., None].astype(jnp.uint8) & 1))
+
+        def frame(l, r):
+            gl, gr = gray(l), gray(r)
+            _, dl = fused(gl, gr, cfg.d_min)
+            _, dr = fused(gr, gl, cfg.d_min_right)
+            return post(dl, dr)
 
         rng = np.random.default_rng(1)
         big_l = rng.integers(0, 256, size=(1992, 3008, 3), dtype=np.uint8)
         big_r = np.roll(big_l, 7, axis=1)
         bl, br = jnp.asarray(big_l), jnp.asarray(big_r)
-        cfg_big = dataclasses.replace(DEFAULT_CONFIG, fused=True)
-        per, t1, tn = timed_frames(cfg_big, bl, br, n_big=5, log=log)
-        log(f"6MP fused pipeline: {per*1e3:.1f} ms/frame "
+        t0 = time.time()
+        float(summ(frame(bl, br)))
+        log(f"  6MP staged first frame (incl compile): {time.time()-t0:.1f}s")
+
+        def run_chain(n):
+            t0 = time.time()
+            l = bl
+            f = None
+            for _ in range(n):
+                f = frame(l, br)
+                l = perturb(l, f)
+            float(summ(f))
+            return time.time() - t0
+
+        run_chain(1)
+        t1 = min(run_chain(1), run_chain(1))
+        t5 = min(run_chain(5), run_chain(5))
+        per = (t5 - t1) / 4
+        log(f"6MP fused pipeline (staged): {per*1e3:.1f} ms/frame "
             f"({1/per:.2f} fps; reference bike ≈ 7715 ms -> {7.715/per:.0f}x)")
 
 
