@@ -70,6 +70,21 @@ class StereoConfig:
     fused: str | bool = "auto"
 
     # ------------------------------------------------------------------
+    def __post_init__(self):
+        if self.d_max < self.d_min:
+            raise ValueError(f"d_max {self.d_max} < d_min {self.d_min}")
+        if self.radius < 1:
+            raise ValueError(f"radius must be >= 1, got {self.radius}")
+        if self.eps <= 0:
+            raise ValueError(f"eps must be > 0, got {self.eps}")
+        if self.th_color < 0 or self.th_grad < 0:
+            raise ValueError("truncation thresholds must be >= 0")
+        if self.d_chunk is not None and (
+            self.d_chunk < 1 or self.size_d % self.d_chunk
+        ):
+            raise ValueError(
+                f"d_chunk {self.d_chunk} must divide size_d {self.size_d}")
+
     @property
     def size_d(self) -> int:
         """Number of disparity hypotheses (main.cu:70)."""

@@ -78,3 +78,21 @@ def test_x_derivative_batched(rng):
     got = np.asarray(ops.x_derivative(jnp.asarray(g)))
     for i in range(3):
         np.testing.assert_array_equal(got[i], R.x_derivative(g[i]))
+
+
+def test_config_validation():
+    import dataclasses
+
+    import pytest as _pytest
+
+    from stereo_matching_cuda_tpu.config import StereoConfig
+
+    with _pytest.raises(ValueError):
+        StereoConfig(d_min=0, d_max=-1)
+    with _pytest.raises(ValueError):
+        StereoConfig(radius=0)
+    with _pytest.raises(ValueError):
+        StereoConfig(eps=0.0)
+    with _pytest.raises(ValueError):
+        StereoConfig(d_chunk=3)  # 16 % 3 != 0
+    assert StereoConfig(d_chunk=4).size_d == 16
