@@ -65,10 +65,19 @@ def _grayscale_tables(r_w: float, g_w: float, b_w: float):
 
 
 def rgb_to_grayscale(rgb: jax.Array, cfg: StereoConfig = DEFAULT_CONFIG) -> jax.Array:
-    """uint8 (H,W,C) → uint8 (H,W); bit-exact vs the reference f64 math.
+    """uint8 (H,W,C) → uint8 (H,W); bit-exact vs the reference f64 math
+    when ``cfg.exact_integral`` is on.
 
     Mirrors sumArraysOnGPU (rgb_to_grayscale.cu:14-23): alpha channel
-    (C=4) ignored; truncating cast.
+    (C=4) ignored; truncating cast.  The integer floor n//10000 is exact
+    for every input except the ~1,700 (r,g,b) triples whose rational
+    value is an exact integer (correction table, see module comment).
+    The table lookups are TWO gathers — ~1 ms each per Tsukuba frame on
+    the TPU VPU, i.e. 40x the rest of the pipeline's grayscale cost —
+    so the default (fast) path skips the correction: at most a +1 gray
+    shift on ~24 ppm of inputs (3-4 pixels per Tsukuba frame), inside
+    the fast path's WTA-tie tolerance.  Parity mode pays for the
+    gathers.
     """
     r = rgb[..., 0].astype(jnp.int32)
     g = rgb[..., 1].astype(jnp.int32)
@@ -81,9 +90,11 @@ def rgb_to_grayscale(rgb: jax.Array, cfg: StereoConfig = DEFAULT_CONFIG) -> jax.
             + jnp.float32(cfg.b_w) * b.astype(jnp.float32)
         )
         return val.astype(jnp.uint8)
-    special, delta = (jnp.asarray(t) for t in tables)
     n = 2990 * r + 5870 * g + 721 * b
     v = n // 10000
+    if not cfg.exact_integral:
+        return v.astype(jnp.uint8)
+    special, delta = (jnp.asarray(t) for t in tables)
     corr = jnp.where(r == special[g, b], delta[g, b], 0)
     return (v - corr).astype(jnp.uint8)
 
