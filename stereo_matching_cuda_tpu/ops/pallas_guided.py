@@ -132,7 +132,8 @@ def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
 
 
 def _make_kernel(cfg: StereoConfig, H: int, W: int,
-                 sh: int, tw: int, nx: int, halo_y: int, px: int, w_ext: int):
+                 sh: int, tw: int, nx: int, halo_y: int, px: int, w_ext: int,
+                 n_slices: int | None = None, lead: int = 0):
     """H, W are the GLOBAL image dims.  The scalar-prefetch ref holds
     (origin_y, origin_x, dmin): the global coords of the local padded
     array's interior origin (0,0 single-chip; the tile corner under
@@ -143,7 +144,7 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
     work; composed-module compile time was superlinear in distinct
     kernels)."""
     r = cfg.radius
-    size_d = cfg.size_d
+    size_d = cfg.size_d if n_slices is None else n_slices
     alpha = np.float32(cfg.alpha)
     one = np.float32(1)
     th_color = np.float32(cfg.th_color)
@@ -160,11 +161,14 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         x0 = tx * tw - px + origin_ref[1]       # global col of ext col 0
         dmin = origin_ref[2]
         # DMA this tile's ext region from the zero-padded HBM images
-        # (padded origin is (halo_y, px), so HBM offsets are ty*sh, tx*tw)
+        # (padded origin is (halo_y, lead + px): `lead` gives headroom so
+        # the dmin pre-shift placement never needs a negative start)
         d1 = pltpu.make_async_copy(
-            i1_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)], v1, sems.at[0])
+            i1_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw + lead, w_ext)],
+            v1, sems.at[0])
         d2 = pltpu.make_async_copy(
-            i2_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)], v2, sems.at[1])
+            i2_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw + lead, w_ext)],
+            v2, sems.at[1])
         d1.start()
         d2.start()
         d1.wait()
@@ -244,7 +248,7 @@ def fused_geometry(cfg: StereoConfig) -> tuple[int, int]:
 
 
 def _fused_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
-                 halo_y, px, sh, tw):
+                 halo_y, px, sh, tw, n_slices=None, lead=0):
     """Run the kernel over a pre-padded local image pair.
 
     p1: interior at (halo_y, px); p2: interior PRE-SHIFTED to
@@ -257,7 +261,8 @@ def _fused_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
     nx = (out_w + tw - 1) // tw
     she = sh + 2 * halo_y
 
-    kernel = _make_kernel(cfg, Hg, Wg, sh, tw, nx, halo_y, px, w_ext)
+    kernel = _make_kernel(cfg, Hg, Wg, sh, tw, nx, halo_y, px, w_ext,
+                          n_slices, lead)
     best, dmap = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -337,14 +342,17 @@ def guided_wta_fused_local(
     global_w: int,
     tile_h: int,
     tile_w: int,
+    n_slices: int | None = None,
 ):
     """shard_map-side entry: grayscale tiles ALREADY extended with
     (halo_y, px) halos (real neighbor rows/cols via ppermute, zeros
     beyond the global image), global origin of the tile's (0,0) given
-    as traced scalars.  Returns (best, dmap) for the (tile_h, tile_w)
-    interior."""
+    as traced scalars.  ``dmin`` may be traced (disparity-sharded
+    meshes: each device's base label differs); ``n_slices`` overrides
+    cfg.size_d for per-range shards.  Returns (best, dmap) for the
+    (tile_h, tile_w) interior."""
     halo_y, px = fused_geometry(cfg)
-    if not (-px <= dmin <= px):
+    if isinstance(dmin, int) and not (-px <= dmin <= px):
         raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
     assert gray1_ext.shape[0] == tile_h + 2 * halo_y, gray1_ext.shape
     assert gray1_ext.shape[1] == tile_w + 2 * px, gray1_ext.shape
@@ -352,13 +360,19 @@ def guided_wta_fused_local(
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (tile_h + sh - 1) // sh
     nx = (tile_w + tw - 1) // tw
-    width = max((nx - 1) * tw + w_ext, tile_w + 2 * px + abs(dmin))
+    # `lead` columns of headroom keep the dmin pre-shift start index
+    # non-negative for any |dmin| <= px (dynamic_update_slice clamps)
+    lead = px
+    width = lead + max((nx - 1) * tw + w_ext, tile_w + 2 * px) + px
 
     def prep(g, xoff):
         P = jnp.zeros((ny * sh + 2 * halo_y, width), jnp.float32)
-        return jax.lax.dynamic_update_slice(P, g.astype(jnp.float32), (0, xoff))
+        return jax.lax.dynamic_update_slice(
+            P, g.astype(jnp.float32), (jnp.int32(0), jnp.int32(xoff)))
 
     origin = jnp.stack(
         [jnp.int32(origin_y), jnp.int32(origin_x), jnp.int32(dmin)])
-    return _fused_tiles(prep(gray1_ext, 0), prep(gray2_ext, -dmin), origin, cfg,
-                        global_h, global_w, tile_h, tile_w, halo_y, px, sh, tw)
+    return _fused_tiles(prep(gray1_ext, lead),
+                        prep(gray2_ext, lead - jnp.int32(dmin)),
+                        origin, cfg, global_h, global_w, tile_h, tile_w,
+                        halo_y, px, sh, tw, n_slices, lead)

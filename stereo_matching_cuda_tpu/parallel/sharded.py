@@ -215,9 +215,9 @@ def sharded_stereo_pipeline(
         raise ValueError(f"shape {(B, H, W)} not divisible by mesh {(nb, ty, tx)}")
     hl, wl = H // ty, W // tx
     halo_y, halo_x = pipeline_halo(cfg)
-    # fused per-chip kernel: only for static per-device disparity ranges
-    # (the Mosaic d-loop uses static shifts)
-    use_fused = mesh.shape.get("d", 1) == 1 and (
+    # fused per-chip kernel (the base disparity is a runtime scalar, so
+    # disparity-sharded meshes use it too)
+    use_fused = (
         cfg.fused is True
         or (cfg.fused == "auto" and jax.default_backend() == "tpu"))
     if use_fused:
@@ -267,15 +267,25 @@ def sharded_stereo_pipeline(
             if use_fused:
                 from ..ops.pallas_guided import guided_wta_fused_local
 
+                dmin_loc = dmin + d_idx * d_per if nd > 1 else dmin
                 outs = []
                 for i in range(g1e.shape[0]):
                     b, dm = guided_wta_fused_local(
-                        g1e[i], g2e[i], y0, x0, dmin, cfg, H, W, hl, wl)
+                        g1e[i], g2e[i], y0, x0, dmin_loc, cfg, H, W, hl, wl,
+                        n_slices=d_per if nd > 1 else None)
                     # mean for output parity: one box mean of the guide
                     I = g1e[i].astype(jnp.float32)
                     mean_i = box_sum(I, cfg.radius) / area
                     outs.append((b, dm, fl_to_ch(crop(mean_i))))
                 best, dmap, mean = (jnp.stack([o[j] for o in outs]) for j in range(3))
+                if nd > 1:
+                    bests = jax.lax.all_gather(best, "d")
+                    dmaps = jax.lax.all_gather(dmap, "d")
+                    best, dmap = bests[0], dmaps[0]
+                    for k in range(1, nd):
+                        upd = best >= bests[k]
+                        best = jnp.where(upd, bests[k], best)
+                        dmap = jnp.where(upd, dmaps[k], dmap)
                 return best, dmap, mean
 
             def per_frame(g1f, g2f):

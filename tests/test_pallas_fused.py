@@ -113,3 +113,26 @@ def test_fused_inside_shard_map(tsukuba):
     dmap = np.asarray(out["disparity_left"][0])
     mism = int((dmap != want_dmap).sum())
     assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
+
+
+def test_fused_disparity_sharded(tsukuba):
+    """Fused kernel on a disparity-sharded mesh: each device runs 4 of
+    the 16 slices with a runtime base label; winners combine across 'd'
+    with the ascending `best >= q` rule."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.parallel import make_mesh, sharded_stereo_pipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    left, right = tsukuba
+    cfg_f = dataclasses.replace(CFG, fused=True)
+    mesh = make_mesh(1, 1, 2, d=4)
+    out = sharded_stereo_pipeline(left[None], right[None], mesh, cfg_f)
+    gl = R.rgb_to_grayscale(left, CFG)
+    gr = R.rgb_to_grayscale(right, CFG)
+    cost = R.cost_volume(gl, gr, CFG.d_min, CFG)
+    _, want_dmap, _ = R.guided_filter_wta(gl, cost, CFG.d_min, CFG)
+    dmap = np.asarray(out["disparity_left"][0])
+    mism = int((dmap != want_dmap).sum())
+    assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
