@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GT PNG values are scale*|disparity| (e.g. 16 for Tsukuba GT)")
     p.add_argument("--profile", action="store_true",
                    help="print a per-stage device-time table (SURVEY.md §6 shape)")
+    p.add_argument("--mesh", default=None, metavar="B,Y,X[,D]",
+                   help="run multi-chip: mesh sizes over (batch, tile-rows, "
+                        "tile-cols, disparity-ranges), e.g. 1,2,4 or 1,2,2,2")
     p.add_argument("--sequence", action="store_true",
                    help="left/right are DIRECTORIES of same-shaped frames; "
                         "pairs are matched by sorted filename order and "
@@ -107,8 +110,7 @@ def main(argv=None) -> int:
         exact_integral=args.exact,
     )
     if args.sequence:
-        cfg2 = cfg
-        return _run_sequence(args, cfg2)
+        return _run_sequence(args, cfg)
     try:
         left = read_png(args.left)
         right = read_png(args.right)
@@ -128,6 +130,23 @@ def main(argv=None) -> int:
         out = R.run_pipeline(left, right, cfg)
         out["cost_left_s0"] = out["cost_left"][0]
         out["cost_right_s0"] = out["cost_right"][0]
+    elif args.mesh:
+        import numpy as _np
+
+        from .parallel import make_mesh, sharded_stereo_pipeline
+
+        sizes = [int(x) for x in args.mesh.split(",")]
+        if len(sizes) == 3:
+            sizes.append(1)
+        if len(sizes) != 4:
+            print("error: --mesh wants B,Y,X or B,Y,X,D", file=sys.stderr)
+            return 2
+        b, y, x, d = sizes
+        mesh = make_mesh(b, y, x, d)
+        sh_out = sharded_stereo_pipeline(
+            _np.broadcast_to(left, (b,) + left.shape), 
+            _np.broadcast_to(right, (b,) + right.shape), mesh, cfg)
+        out = {k: _np.asarray(v[0]) for k, v in sh_out.items()}
     else:
         from .pipeline import compute_disparity
 

@@ -1,0 +1,66 @@
+"""CLI surface tests (subprocess, the real user interface)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from stereo_matching_cuda_tpu.utils.io import write_png
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "AXON_LOOPBACK_RELAY": "0",
+    "PALLAS_AXON_REMOTE_COMPILE": "0",
+    "PALLAS_AXON_POOL_IPS": "",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
+                 "--xla_cpu_enable_fast_math=false",
+}
+
+
+def _write_pair(tmp_path):
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (64, 96 + 16, 3), dtype=np.uint8)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    write_png(lp, base[:, 8 : 8 + 96])
+    write_png(rp, base[:, 4 : 4 + 96])
+    return lp, rp
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "stereo_matching_cuda_tpu", *args],
+        capture_output=True, text=True, env=ENV, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+def test_cli_basic_json(tmp_path):
+    lp, rp = _write_pair(tmp_path)
+    r = _run([lp, rp, "-o", str(tmp_path / "out"), "--json"])
+    assert r.returncode == 0, r.stderr
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["disparities"] == 16
+    assert (tmp_path / "out" / "disparity_mapl.png").exists()
+    assert (tmp_path / "out" / "occlu_mapl_filled.png").exists()
+
+
+def test_cli_mismatched_sizes_exit2(tmp_path):
+    lp, rp = _write_pair(tmp_path)
+    crop = str(tmp_path / "crop.png")
+    from stereo_matching_cuda_tpu.utils.io import read_png
+
+    write_png(crop, read_png(lp)[:32, :32])
+    r = _run([crop, rp, "-o", str(tmp_path / "out")])
+    assert r.returncode == 2
+    assert "shapes differ" in r.stderr
+
+
+def test_cli_mesh_mode(tmp_path):
+    lp, rp = _write_pair(tmp_path)
+    r = _run([lp, rp, "-o", str(tmp_path / "out"), "--mesh", "1,1,2,2", "--json"])
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "out" / "disparity_mapl.png").exists()
