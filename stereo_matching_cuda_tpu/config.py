@@ -50,6 +50,8 @@ class StereoConfig:
     # --- framework knobs (no reference equivalent) ---------------------
     # Number of disparity slices processed per scan step in the guided
     # filter (bounds peak HBM for large volumes). None = all at once.
+    # Only affects the unfused jnp path — the fused Pallas kernel never
+    # materializes the volume, so it has nothing to chunk.
     d_chunk: Optional[int] = None
     # The filtering path is float32 by design, not configurable:
     # a = (mean_Ip - mean_I·mean_p)·c cancels catastrophically and needs
