@@ -12,7 +12,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -86,8 +85,16 @@ def _run_sequence(args, cfg) -> int:
     t0 = time.perf_counter()
     n = 0
     for lp, rp in zip(lefts, rights):
-        left = read_png(lp)
-        right = read_png(rp)
+        try:
+            left = read_png(lp)
+            right = read_png(rp)
+        except (OSError, ValueError, NotImplementedError) as e:
+            print(f"error: {lp}/{rp}: {e}", file=sys.stderr)
+            return 2
+        if left.ndim != 3 or left.shape != right.shape or left.shape[2] < 3:
+            print(f"error: {lp}/{rp}: need same-shaped color frames, got "
+                  f"{left.shape} vs {right.shape}", file=sys.stderr)
+            return 2
         out = compute_disparity(left, right, cfg)
         stem = os.path.splitext(os.path.basename(lp))[0]
         write_png(os.path.join(args.out, f"{stem}_disparity.png"),
@@ -117,8 +124,8 @@ def main(argv=None) -> int:
     except (OSError, ValueError, NotImplementedError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    if left.ndim != 3 or right.ndim != 3:
-        print("error: inputs must be color images (H,W,C)", file=sys.stderr)
+    if left.ndim != 3 or right.ndim != 3 or left.shape[2] < 3 or right.shape[2] < 3:
+        print("error: inputs must be color images (H,W,3) or (H,W,4)", file=sys.stderr)
         return 2
     if left.shape != right.shape:
         print(f"error: image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)
@@ -157,7 +164,10 @@ def main(argv=None) -> int:
     write_png(os.path.join(args.out, "disparity_mapr.png"), _normalize(out["disparity_right"]))
     write_png(os.path.join(args.out, "occlu_mapl.png"), _normalize(out["occlusion"]))
     write_png(os.path.join(args.out, "occlu_mapl_filled.png"), _normalize(out["occlusion_filled"]))
-    if args.dump_intermediates:
+    if args.dump_intermediates and "gray_left" not in out:
+        print("note: --dump-intermediates is unavailable with --mesh "
+              "(the sharded pipeline returns final maps only)", file=sys.stderr)
+    if args.dump_intermediates and "gray_left" in out:
         write_png(os.path.join(args.out, "image_left.png"), np.asarray(out["gray_left"]))
         write_png(os.path.join(args.out, "image_right.png"), np.asarray(out["gray_right"]))
         write_png(os.path.join(args.out, "image_mean_left.png"), np.asarray(out["mean_left"]))

@@ -86,6 +86,10 @@ class StereoConfig:
         ):
             raise ValueError(
                 f"d_chunk {self.d_chunk} must divide size_d {self.size_d}")
+        if self.fused is True and self.exact_integral:
+            raise ValueError(
+                "fused=True and exact_integral=True are mutually exclusive: "
+                "the fused kernel is the fast path (WTA ties may flip)")
 
     @property
     def size_d(self) -> int:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..config import StereoConfig, DEFAULT_CONFIG
 from .boxfilter import strict_mul
 from .image import x_derivative
+from .shifts import shift_cols
 
 
 def _shift_x(img: jax.Array, d: int) -> tuple[jax.Array, jax.Array]:
@@ -31,15 +32,7 @@ def _shift_x(img: jax.Array, d: int) -> tuple[jax.Array, jax.Array]:
     w = img.shape[-1]
     x = jnp.arange(w)
     valid = (x + d >= 0) & (x + d < w)
-    if d == 0:
-        return img, valid
-    if d > 0:
-        pad = [(0, 0)] * (img.ndim - 1) + [(0, d)]
-        shifted = jnp.pad(img, pad, mode="edge")[..., d:]
-    else:
-        pad = [(0, 0)] * (img.ndim - 1) + [(-d, 0)]
-        shifted = jnp.pad(img, pad, mode="edge")[..., :w]
-    return shifted, valid
+    return shift_cols(img, d), valid
 
 
 def cost_volume(

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import StereoConfig, DEFAULT_CONFIG
+from .shifts import shift_cols
 
 
 def detect_occlusion(
@@ -45,15 +46,7 @@ def detect_occlusion(
     labels = tuple(cfg.d_min + s for s in range(cfg.size_d))
     dprime = jnp.zeros_like(disp_right)
     for lab in labels:
-        if lab == 0:
-            shifted = disp_right
-        elif lab > 0:
-            pad = [(0, 0)] * (disp_right.ndim - 1) + [(0, lab)]
-            shifted = jnp.pad(disp_right, pad, mode="edge")[..., lab:]
-        else:
-            pad = [(0, 0)] * (disp_right.ndim - 1) + [(-lab, 0)]
-            shifted = jnp.pad(disp_right, pad, mode="edge")[..., :w]
-        dprime = jnp.where(d == lab, shifted, dprime)
+        dprime = jnp.where(d == lab, shift_cols(disp_right, lab), dprime)
     bad = jnp.abs(d.astype(jnp.float32) + dprime) > jnp.float32(cfg.d_lr)
     occl = (~in_range) | bad
     return jnp.where(occl, jnp.float32(d_occlusion), disp_left)

@@ -243,7 +243,11 @@ def fused_geometry(cfg: StereoConfig) -> tuple[int, int]:
     halo_y = ((2 * (r + 1) + 2) + 7) // 8 * 8
     shift = max(abs(cfg.d_min), abs(cfg.d_max),
                 abs(cfg.d_min_right), abs(cfg.d_min_right + cfg.size_d - 1))
-    px = shift + 1 + 2 * (r + 1)
+    # the kernel reads the dmin-pre-shifted match image at +s for
+    # s = 0..size_d-1, so the column budget must cover BOTH the absolute
+    # shift (placement) and the slice reach (reads) — for ranges
+    # straddling zero size_d-1 exceeds max|d|
+    px = max(shift, cfg.size_d - 1) + 1 + 2 * (r + 1)
     return halo_y, px
 
 

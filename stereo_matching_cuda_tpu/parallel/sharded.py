@@ -24,9 +24,6 @@ mismatch count vs the single-chip result.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -36,6 +33,7 @@ from ..config import StereoConfig, DEFAULT_CONFIG
 from ..ops.boxfilter import box_sum, strict_mul
 from ..ops.guided import BEST_COST_INIT, _recip_var_eps, _chunk_wta
 from ..ops.image import rgb_to_grayscale, fl_to_ch
+from ..ops.shifts import shift_cols
 from .halo import halo_exchange
 from .mesh import pipeline_halo
 
@@ -47,25 +45,12 @@ def _global_area(gy: jax.Array, gx: jax.Array, h: int, w: int, r: int) -> jax.Ar
     return (ay[:, None] * ax[None, :]).astype(jnp.float32)
 
 
-def _shift_cols(arr: jax.Array, d: int) -> jax.Array:
-    """out[..., x] = arr[..., x+d], array-edge replicated (the replicated
-    values are never consumed: global-coordinate masks cover them)."""
-    if d == 0:
-        return arr
-    w = arr.shape[-1]
-    if d > 0:
-        pad = [(0, 0)] * (arr.ndim - 1) + [(0, d)]
-        return jnp.pad(arr, pad, mode="edge")[..., d:]
-    pad = [(0, 0)] * (arr.ndim - 1) + [(-d, 0)]
-    return jnp.pad(arr, pad, mode="edge")[..., :w]
-
-
 def _x_derivative_global(g: jax.Array, gx: jax.Array, w: int) -> jax.Array:
     """Negated central difference with one-sided borders at the GLOBAL
     image edges (costVolume.cu:362-378), on an extended tile."""
     gi = g.astype(jnp.int32)
-    c1 = jnp.where(gx[None, :] < w - 1, _shift_cols(gi, 1), gi)   # in[id+1]
-    c2 = jnp.where(gx[None, :] > 0, _shift_cols(gi, -1), gi)     # in[id-1]
+    c1 = jnp.where(gx[None, :] < w - 1, shift_cols(gi, 1), gi)   # in[id+1]
+    c2 = jnp.where(gx[None, :] > 0, shift_cols(gi, -1), gi)     # in[id-1]
     return (c2 - c1).astype(jnp.float32) * jnp.float32(0.5)
 
 
@@ -95,7 +80,7 @@ def _local_cost_volume(g1, der1, g2, der2, gx, dmin, size_d, w, cfg, in_image):
     for s in range(size_d):
         d = dmin + s
         slices.append(_cost_slice(
-            g1i, der1, _shift_cols(g2i, d), _shift_cols(der2, d),
+            g1i, der1, shift_cols(g2i, d), shift_cols(der2, d),
             gx, d, w, cfg, in_image))
     return jnp.stack(slices, axis=0)
 
@@ -142,32 +127,17 @@ def _local_guided_wta(g_ext, cost, area, in_image, dmin, cfg):
     return q, mean_i
 
 
-def _combine_last_valid(vals, flags):
-    def combine(x, y):
-        xv, xf = x
-        yv, yf = y
-        return jnp.where(yf, yv, xv), xf | yf
-    return combine
-
-
-def _segmented_fill(occ, gx_tile, v_min, tx, cfg):
+def _segmented_fill(occ, v_min, tx):
     """Cross-tile occlusion fill along 'x' (occlusion.cu:134-176
     semantics, race-free scan definition — see ops.occlusion)."""
+    from ..ops.occlusion import _last_valid_scan
+
     vminf = jnp.float32(v_min)
     occl = occ.astype(jnp.int32) < v_min
     valid = occ >= vminf
     vals = jnp.where(valid, occ, jnp.float32(0))
-
-    def scan(reverse):
-        def combine(x, y):
-            xv, xf = x
-            yv, yf = y
-            return jnp.where(yf, yv, xv), xf | yf
-        return jax.lax.associative_scan(
-            combine, (vals, valid), axis=vals.ndim - 1, reverse=reverse)
-
-    lv, lf = scan(False)
-    rv, rf = scan(True)
+    lv, lf = _last_valid_scan(vals, valid, reverse=False)
+    rv, rf = _last_valid_scan(vals, valid, reverse=True)
 
     if tx > 1:
         my = jax.lax.axis_index("x")
@@ -215,6 +185,11 @@ def sharded_stereo_pipeline(
         raise ValueError(f"shape {(B, H, W)} not divisible by mesh {(nb, ty, tx)}")
     hl, wl = H // ty, W // tx
     halo_y, halo_x = pipeline_halo(cfg)
+    if cfg.exact_integral:
+        raise ValueError(
+            "exact_integral is the single-chip parity mode; sharded tiles "
+            "use per-tile integral origins and are tolerance-level by "
+            "design (see tests/test_sharded.py)")
     # fused per-chip kernel (the base disparity is a runtime scalar, so
     # disparity-sharded meshes use it too)
     use_fused = (
@@ -225,8 +200,6 @@ def sharded_stereo_pipeline(
 
         ky, kx = fused_geometry(cfg)
         halo_y, halo_x = max(halo_y, ky), max(halo_x, kx)
-        if ky != halo_y or kx != halo_x:
-            use_fused = False  # geometry mismatch; fall back to jnp path
     if hl < halo_y or wl < halo_x:
         raise ValueError(
             f"tile {hl}x{wl} smaller than pipeline halo {halo_y}x{halo_x}; "
@@ -331,7 +304,7 @@ def sharded_stereo_pipeline(
         bad = jnp.abs(d.astype(jnp.float32) + dprime) > jnp.float32(cfg.d_lr)
         occ = jnp.where((~in_range) | bad, jnp.float32(cfg.d_occlusion), dmap_l)
 
-        filled = _segmented_fill(occ, gx_t, cfg.v_min, tx, cfg)
+        filled = _segmented_fill(occ, cfg.v_min, tx)
         return dmap_l, dmap_r, occ, filled, best_l, mean_l
 
     spec_in = P("b", "y", "x", None)

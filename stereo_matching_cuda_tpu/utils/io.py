@@ -30,7 +30,13 @@ def _load_native():
         if _lib_tried:
             return _lib
         _lib_tried = True
-        if not os.path.exists(_SO_PATH):
+        src = os.path.join(_REPO_ROOT, "native", "stereoio", "stereoio.cpp")
+        stale = (
+            os.path.exists(_SO_PATH)
+            and os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        )
+        if not os.path.exists(_SO_PATH) or stale:
             makefile = os.path.join(_REPO_ROOT, "native", "Makefile")
             if os.path.exists(makefile):
                 try:
