@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GT PNG values are scale*|disparity| (e.g. 16 for Tsukuba GT)")
     p.add_argument("--profile", action="store_true",
                    help="print a per-stage device-time table (SURVEY.md §6 shape)")
+    p.add_argument("--aggregation", choices=["guided", "box"], default="guided",
+                   help="cost aggregation family: guided filter (reference "
+                        "semantics) or plain box mean (SAD+box baseline)")
     p.add_argument("--mesh", default=None, metavar="B,Y,X[,D]",
                    help="run multi-chip: mesh sizes over (batch, tile-rows, "
                         "tile-cols, disparity-ranges), e.g. 1,2,4 or 1,2,2,2")
@@ -154,6 +157,11 @@ def main(argv=None) -> int:
             _np.broadcast_to(left, (b,) + left.shape), 
             _np.broadcast_to(right, (b,) + right.shape), mesh, cfg)
         out = {k: _np.asarray(v[0]) for k, v in sh_out.items()}
+    elif args.aggregation == "box":
+        from .models.box import box_stereo_pipeline
+
+        out = {k: np.asarray(v)
+               for k, v in box_stereo_pipeline(left, right, cfg).items()}
     else:
         from .pipeline import compute_disparity
 
