@@ -136,3 +136,23 @@ def test_fused_disparity_sharded(tsukuba):
     dmap = np.asarray(out["disparity_left"][0])
     mism = int((dmap != want_dmap).sum())
     assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
+
+
+def test_fused_straddling_disparity_range():
+    """Ranges straddling zero make the slice reach (size_d-1) exceed
+    max|d|; the px budget must cover it or wrapped roll columns corrupt
+    tile interiors (regression for the geometry fix)."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.ops.pallas_guided import fused_geometry, guided_wta_fused
+
+    cfg_s = dataclasses.replace(CFG, d_min=-8, d_max=8)
+    _, px = fused_geometry(cfg_s)
+    assert px >= (cfg_s.size_d - 1) + 1 + 2 * (cfg_s.radius + 1)
+    g1, g2 = _pair(48, 96, seed=11)
+    cost = R.cost_volume(g1, g2, cfg_s.d_min, cfg_s)
+    _, want_dmap, _ = R.guided_filter_wta(g1, cost, cfg_s.d_min, cfg_s)
+    _, dmap = guided_wta_fused(jnp.asarray(g1), jnp.asarray(g2), cfg_s.d_min, cfg_s)
+    dmap = np.asarray(dmap)
+    mism = int((dmap != want_dmap).sum())
+    assert mism <= max(4, dmap.size * 3e-3), f"{mism}/{dmap.size}"
