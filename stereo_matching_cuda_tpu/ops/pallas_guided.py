@@ -121,8 +121,13 @@ def _box_sum_hybrid(x: jax.Array, r: int, my: jax.Array) -> jax.Array:
     decomposition (~f32 accuracy; fast-path tolerance covers it)."""
     k = 2 * r + 1
     sx = _roll(_forward_window_sum(x, k, 1), r, 1)
+    # HIGHEST precision: the default 1-pass bf16 MXU product loses ~16
+    # mantissa bits and flipped ~60x more WTA near-ties on hardware
+    # (312 vs 5 of 110k Tsukuba pixels)
     return jax.lax.dot_general(
-        my, sx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        my, sx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
