@@ -214,9 +214,7 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         dmap = jnp.zeros((sh, tw), jnp.float32)
         crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
 
-        for s in range(size_d):
-            I2s = _shift_x_vmem(I2, s)       # = I2_orig at gx + dmin + s
-            d2s = _shift_x_vmem(der2, s)
+        def slice_update(s, I2s, d2s, best, dmap):
             d = dmin + s                      # runtime label
             valid = (gx + d >= 0) & (gx + d < W)
             cost = (one - alpha) * jnp.minimum(jnp.abs(I1 - I2s), th_color) + (
@@ -230,8 +228,25 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
             b = jnp.where(in_img, b, 0.0)
             q = crop(boxm(a)) * crop(I1) + crop(boxm(b))
             upd = best >= q  # ascending d, >= : largest d wins ties
-            best = jnp.where(upd, q, best)
-            dmap = jnp.where(upd, d.astype(jnp.float32), dmap)
+            return jnp.where(upd, q, best), jnp.where(upd, d.astype(jnp.float32), dmap)
+
+        if size_d <= 32:
+            # static unroll: shifts are compile-time rolls
+            for s in range(size_d):
+                best, dmap = slice_update(
+                    s, _shift_x_vmem(I2, s), _shift_x_vmem(der2, s), best, dmap)
+        else:
+            # wide ranges: a 128-way unroll grinds the Mosaic compiler
+            # for tens of minutes, so loop with a carried match image
+            # rolled by ONE column per iteration (static shift, compiled
+            # once) — identical wrap semantics to a single roll by s.
+            def body(s, carry):
+                I2s, d2s, best, dmap = carry
+                best, dmap = slice_update(s, I2s, d2s, best, dmap)
+                return (_shift_x_vmem(I2s, 1), _shift_x_vmem(d2s, 1), best, dmap)
+
+            _, _, best, dmap = jax.lax.fori_loop(
+                0, size_d, body, (I2, der2, best, dmap))
 
         best_ref[0] = best
         dmap_ref[0] = dmap

@@ -156,3 +156,22 @@ def test_fused_straddling_disparity_range():
     dmap = np.asarray(dmap)
     mism = int((dmap != want_dmap).sum())
     assert mism <= max(4, dmap.size * 3e-3), f"{mism}/{dmap.size}"
+
+
+def test_fused_wide_range_fori_loop():
+    """size_d > 32 switches the kernel's d-loop to a fori_loop with an
+    incrementally-rolled match image (a 128-way unroll grinds Mosaic
+    for tens of minutes)."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.config import StereoConfig
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+    cfg64 = StereoConfig(d_min=-63, d_max=0)
+    g1, g2 = _pair(48, 160, seed=3)
+    cost = R.cost_volume(g1, g2, cfg64.d_min, cfg64)
+    _, want_dmap, _ = R.guided_filter_wta(g1, cost, cfg64.d_min, cfg64)
+    _, dmap = guided_wta_fused(jnp.asarray(g1), jnp.asarray(g2), cfg64.d_min, cfg64)
+    dmap = np.asarray(dmap)
+    mism = int((dmap != want_dmap).sum())
+    assert mism <= max(4, dmap.size * 2e-3), f"{mism}/{dmap.size}"
