@@ -76,6 +76,11 @@ def _pick_tiles(h: int, w: int, px: int, halo_y: int,
     return best[1], best[2]
 
 
+# d-loop unroll threshold: ranges up to this unroll statically; wider
+# ranges use the in-kernel fori_loop (see _make_kernel)
+_UNROLL_MAX = 32
+
+
 def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
     """Circular roll with either sign (pltpu.roll wants shift >= 0):
     out[i] = x[i - shift]."""
@@ -230,7 +235,7 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
             upd = best >= q  # ascending d, >= : largest d wins ties
             return jnp.where(upd, q, best), jnp.where(upd, d.astype(jnp.float32), dmap)
 
-        if size_d <= 32:
+        if size_d <= _UNROLL_MAX:
             # static unroll: shifts are compile-time rolls
             for s in range(size_d):
                 best, dmap = slice_update(
