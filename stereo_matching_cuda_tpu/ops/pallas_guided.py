@@ -16,12 +16,14 @@ at a time:
   inputs:        the two grayscale images, zero-padded once in HBM;
                  each program DMAs its tile + halo (halo_y rows,
                  px = max|d|+1+2(R+1) cols) into VMEM scratch
-  in kernel:     for s in 0..D-1 (static unroll):
+  in kernel:     for s in 0..D-1 (unrolled ≤32 slices; fori_loop with
+                 an incrementally-rolled match image beyond):
                    cost slice (truncated AD + gradient AD, zero outside
                    the image) → box means (x: log-doubling lane rolls;
-                   y: banded matmul on the MXU) → a, b → q → streaming
-                   `best >= q` update (the reference's ascending-d
-                   dispSelect rule, guidedFilter.cu:403-411, literally)
+                   y: banded matmul on the MXU, Precision.HIGHEST) →
+                   a, b → q → streaming `best >= q` update (the
+                   reference's ascending-d dispSelect rule,
+                   guidedFilter.cu:403-411, literally)
 
 Border semantics match ops/ and the sharded tiles: zero padding outside
 the image + clamped-area normalizer from GLOBAL coordinates equals the
