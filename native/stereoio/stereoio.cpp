@@ -5,8 +5,11 @@
 // layer (stb_image.h / stb_image_write.h, enabled in
 // SystemIncludes.h:3-5 and driven from main.cu:57-58,162-181).  This
 // is the framework's own codec, written against the PNG spec on top of
-// zlib: 8-bit color types 0/2/3/4/6, all five scanline filters,
-// non-interlaced; writes gray/RGB/RGBA with filter 0.
+// zlib: 8- and 16-bit color types 0/2/3/4/6 (palette 8-bit only), all
+// five scanline filters, non-interlaced; writes gray/RGB/RGBA with
+// filter 0 (8-bit, plus 16-bit gray for disparity ground truth).
+// 16-bit support matches stb_image.h's PNG16 path — needed to read
+// Middlebury-style ground-truth disparity files.
 //
 // Also implements the reference driver's write_mat min-max normalizer
 // (main.cu:13-35) bit-for-bit, including its quirky running-max/min
@@ -72,14 +75,18 @@ bool inflate_all(const std::vector<unsigned char>& in, std::vector<unsigned char
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Returns 0 on success.  *data is malloc'd (h*w*channels); free with
-// sio_free.  Palette images are expanded to RGB (or RGBA with tRNS).
-int sio_read_png(const char* path, unsigned char** data, int* out_w, int* out_h,
-                 int* out_channels) {
+// May allocate (std::vector) — only called via the try/catch wrapper in
+// sio_read_png so std::bad_alloc on malformed lengths cannot cross the
+// extern "C"/ctypes boundary and abort the host process.
+int read_png_impl(const char* path, unsigned char** data, int* out_w, int* out_h,
+                  int* out_channels, int* out_depth) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  const long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
   unsigned char magic[8];
   if (fread(magic, 1, 8, f) != 8 || memcmp(magic, kMagic, 8) != 0) {
     fclose(f);
@@ -94,6 +101,13 @@ int sio_read_png(const char* path, unsigned char** data, int* out_w, int* out_h,
     unsigned char hdr[8];
     if (fread(hdr, 1, 8, f) != 8) break;
     uint32_t len = be32(hdr);
+    // a declared chunk length can't exceed what's left of the file (nor
+    // the spec's 2^31-1); reject before allocating untrusted lengths
+    const long remaining = fsize - ftell(f);
+    if (len > 0x7FFFFFFFu || long(len) > remaining) {
+      fclose(f);
+      return 3;
+    }
     char type[5] = {0};
     memcpy(type, hdr + 4, 4);
     std::vector<unsigned char> chunk(len);
@@ -119,7 +133,10 @@ int sio_read_png(const char* path, unsigned char** data, int* out_w, int* out_h,
     }
   }
   fclose(f);
-  if (!w || !h || bitdepth != 8 || interlace != 0) return 4;
+  if (!w || !h || interlace != 0) return 4;
+  if (bitdepth != 8 && bitdepth != 16) return 4;
+  if (bitdepth == 16 && color_type == 3) return 4;  // spec forbids
+  if (size_t(w) * h > (size_t(1) << 31)) return 4;  // sanity vs corrupt IHDR
   int ch;
   switch (color_type) {
     case 0: ch = 1; break;
@@ -131,7 +148,8 @@ int sio_read_png(const char* path, unsigned char** data, int* out_w, int* out_h,
   }
   std::vector<unsigned char> raw;
   if (!inflate_all(idat, raw)) return 6;
-  const size_t stride = size_t(w) * ch;
+  const size_t bpp = size_t(ch) * (bitdepth / 8);  // filter offset, bytes
+  const size_t stride = size_t(w) * bpp;
   if (raw.size() != h * (stride + 1)) return 7;
 
   std::vector<unsigned char> img(h * stride);
@@ -146,21 +164,21 @@ int sio_read_png(const char* path, unsigned char** data, int* out_w, int* out_h,
         break;
       case 1:  // Sub
         for (size_t x = 0; x < stride; ++x)
-          cur[x] = line[x] + (x >= size_t(ch) ? cur[x - ch] : 0);
+          cur[x] = line[x] + (x >= bpp ? cur[x - bpp] : 0);
         break;
       case 2:  // Up
         for (size_t x = 0; x < stride; ++x) cur[x] = line[x] + prev[x];
         break;
       case 3:  // Average
         for (size_t x = 0; x < stride; ++x) {
-          int left = x >= size_t(ch) ? cur[x - ch] : 0;
+          int left = x >= bpp ? cur[x - bpp] : 0;
           cur[x] = line[x] + ((left + prev[x]) >> 1);
         }
         break;
       case 4:  // Paeth
         for (size_t x = 0; x < stride; ++x) {
-          int a = x >= size_t(ch) ? cur[x - ch] : 0;
-          int c = x >= size_t(ch) ? prev[x - ch] : 0;
+          int a = x >= bpp ? cur[x - bpp] : 0;
+          int c = x >= bpp ? prev[x - bpp] : 0;
           cur[x] = line[x] + paeth(a, prev[x], c);
         }
         break;
@@ -186,17 +204,42 @@ int sio_read_png(const char* path, unsigned char** data, int* out_w, int* out_h,
     *out_w = int(w);
     *out_h = int(h);
     *out_channels = out_ch;
+    *out_depth = 8;
     return 0;
   }
 
   unsigned char* out = static_cast<unsigned char*>(malloc(img.size()));
   if (!out) return 10;
-  memcpy(out, img.data(), img.size());
+  if (bitdepth == 16) {
+    // PNG samples are big-endian; emit host-endian uint16
+    uint16_t* o16 = reinterpret_cast<uint16_t*>(out);
+    for (size_t i = 0; i < img.size() / 2; ++i)
+      o16[i] = uint16_t(img[2 * i]) << 8 | img[2 * i + 1];
+  } else {
+    memcpy(out, img.data(), img.size());
+  }
   *data = out;
   *out_w = int(w);
   *out_h = int(h);
   *out_channels = ch;
+  *out_depth = bitdepth;
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success.  *data is malloc'd (h*w*channels samples; 2
+// bytes each when *out_depth == 16, host-endian); free with sio_free.
+// Palette images are expanded to RGB (or RGBA with tRNS).
+int sio_read_png(const char* path, unsigned char** data, int* out_w, int* out_h,
+                 int* out_channels, int* out_depth) {
+  try {
+    return read_png_impl(path, data, out_w, out_h, out_channels, out_depth);
+  } catch (...) {
+    return 11;  // bad_alloc / length_error on a malformed file
+  }
 }
 
 // channels: 1 (gray), 3 (RGB) or 4 (RGBA).  Filter 0, zlib level 6.
@@ -248,6 +291,58 @@ int sio_write_png(const char* path, const unsigned char* data, int w, int h,
   chunk("IEND", nullptr, 0);
   fclose(f);
   return 0;
+}
+
+// 16-bit grayscale writer (disparity ground-truth files).  `data` is
+// host-endian uint16; samples are written big-endian per the PNG spec.
+int sio_write_png16(const char* path, const uint16_t* data, int w, int h) {
+  try {
+    const size_t stride = size_t(w) * 2;
+    std::vector<unsigned char> raw(size_t(h) * (stride + 1));
+    for (int y = 0; y < h; ++y) {
+      unsigned char* line = raw.data() + size_t(y) * (stride + 1);
+      line[0] = 0;
+      for (int x = 0; x < w; ++x) {
+        const uint16_t v = data[size_t(y) * w + x];
+        line[1 + 2 * x] = (v >> 8) & 0xFF;
+        line[2 + 2 * x] = v & 0xFF;
+      }
+    }
+    uLongf clen = compressBound(static_cast<uLong>(raw.size()));
+    std::vector<unsigned char> comp(clen);
+    if (compress2(comp.data(), &clen, raw.data(), static_cast<uLong>(raw.size()), 6) != Z_OK)
+      return 2;
+    comp.resize(clen);
+    FILE* f = fopen(path, "wb");
+    if (!f) return 3;
+    fwrite(kMagic, 1, 8, f);
+    auto chunk = [&](const char* type, const unsigned char* payload, uint32_t len) {
+      unsigned char hdr[8];
+      put_be32(hdr, len);
+      memcpy(hdr + 4, type, 4);
+      fwrite(hdr, 1, 8, f);
+      if (len) fwrite(payload, 1, len, f);
+      uLong crc = crc32(0L, Z_NULL, 0);
+      crc = crc32(crc, reinterpret_cast<const Bytef*>(type), 4);
+      if (len) crc = crc32(crc, payload, len);
+      unsigned char tail[4];
+      put_be32(tail, static_cast<uint32_t>(crc));
+      fwrite(tail, 1, 4, f);
+    };
+    unsigned char ihdr[13];
+    put_be32(ihdr, uint32_t(w));
+    put_be32(ihdr + 4, uint32_t(h));
+    ihdr[8] = 16;
+    ihdr[9] = 0;  // grayscale
+    ihdr[10] = ihdr[11] = ihdr[12] = 0;
+    chunk("IHDR", ihdr, 13);
+    chunk("IDAT", comp.data(), static_cast<uint32_t>(comp.size()));
+    chunk("IEND", nullptr, 0);
+    fclose(f);
+    return 0;
+  } catch (...) {
+    return 4;
+  }
 }
 
 void sio_free(void* p) { free(p); }

@@ -119,6 +119,15 @@ def main(argv=None) -> int:
         eps=args.eps, d_lr=args.d_lr, d_chunk=args.d_chunk,
         exact_integral=args.exact,
     )
+    if args.mesh and args.exact:
+        print("error: --mesh does not support --exact (the sharded pipeline "
+              "uses per-tile integral origins; run the parity mode on one "
+              "chip)", file=sys.stderr)
+        return 2
+    if args.mesh and args.aggregation != "guided":
+        print(f"error: --mesh only supports --aggregation guided, got "
+              f"{args.aggregation!r}", file=sys.stderr)
+        return 2
     if args.sequence:
         return _run_sequence(args, cfg)
     try:

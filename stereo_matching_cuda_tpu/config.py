@@ -86,6 +86,9 @@ class StereoConfig:
         ):
             raise ValueError(
                 f"d_chunk {self.d_chunk} must divide size_d {self.size_d}")
+        if self.fused not in (True, False, "auto"):
+            raise ValueError(
+                f"fused must be True, False or 'auto', got {self.fused!r}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

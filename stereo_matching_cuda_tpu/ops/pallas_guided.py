@@ -74,7 +74,11 @@ def _pick_tiles(h: int, w: int, px: int, halo_y: int,
             if best is None or overhead < best[0]:
                 best = (overhead, sh, tw)
     if best is None:
-        return 8, 256
+        raise ValueError(
+            f"no fused-kernel tiling fits the {vmem_budget/2**20:.1f} MB "
+            f"VMEM budget for image {h}x{w} (halo_y={halo_y}, px={px}); "
+            "reduce the disparity range or radius, or use the unfused "
+            "path (fused=False)")
     return best[1], best[2]
 
 

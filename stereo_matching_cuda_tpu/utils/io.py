@@ -58,6 +58,7 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
         ]
         lib.sio_read_png.restype = ctypes.c_int
         lib.sio_write_png.argtypes = [
@@ -65,6 +66,11 @@ def _load_native():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.sio_write_png.restype = ctypes.c_int
+        lib.sio_write_png16.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.sio_write_png16.restype = ctypes.c_int
         lib.sio_free.argtypes = [ctypes.c_void_p]
         lib.sio_write_mat_normalize.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
@@ -79,7 +85,8 @@ def native_available() -> bool:
 
 
 def read_png(path: str) -> np.ndarray:
-    """uint8 (H,W) or (H,W,C).  Native codec when available."""
+    """uint8 (H,W) or (H,W,C); uint16 for 16-bit PNGs (ground-truth
+    disparity files).  Native codec when available."""
     lib = _load_native()
     if lib is None:
         return _pypng.read_png(path)
@@ -87,21 +94,38 @@ def read_png(path: str) -> np.ndarray:
     w = ctypes.c_int()
     h = ctypes.c_int()
     ch = ctypes.c_int()
+    depth = ctypes.c_int()
     rc = lib.sio_read_png(path.encode(), ctypes.byref(data), ctypes.byref(w),
-                          ctypes.byref(h), ctypes.byref(ch))
+                          ctypes.byref(h), ctypes.byref(ch), ctypes.byref(depth))
     if rc != 0:
-        # fall back for formats the native codec rejects (e.g. 16-bit)
+        # fall back for formats the native codec rejects
         return _pypng.read_png(path)
     try:
-        n = h.value * w.value * ch.value
+        n = h.value * w.value * ch.value * (depth.value // 8)
         arr = np.ctypeslib.as_array(data, shape=(n,)).copy()
     finally:
         lib.sio_free(data)
+    if depth.value == 16:
+        arr = arr.view(np.uint16)
     arr = arr.reshape(h.value, w.value, ch.value)
     return arr[..., 0] if ch.value == 1 else arr
 
 
 def write_png(path: str, img: np.ndarray) -> None:
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        lib = _load_native()
+        if lib is not None and img.ndim == 2:
+            img = np.ascontiguousarray(img)
+            rc = lib.sio_write_png16(
+                path.encode(),
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                img.shape[1], img.shape[0])
+            if rc != 0:
+                raise OSError(f"sio_write_png16 failed with code {rc} for {path}")
+            return
+        _pypng.write_png(path, img)
+        return
     img = np.ascontiguousarray(img, dtype=np.uint8)
     lib = _load_native()
     if lib is None:

@@ -1,4 +1,4 @@
-"""Minimal dependency-free PNG codec (8-bit, non-interlaced).
+"""Minimal dependency-free PNG codec (8/16-bit, non-interlaced).
 
 The reference vendors stb_image / stb_image_write (single-header C
 libraries) as its image I/O layer (SystemIncludes.h:3-5, main.cu:57-58,
@@ -6,8 +6,11 @@ libraries) as its image I/O layer (SystemIncludes.h:3-5, main.cu:57-58,
 C++ native codec in ``native/stereoio`` (loaded via ctypes in
 ``stereo_matching_cuda_tpu.utils.io``) is the fast path.
 
-Supports reading color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A),
-6 (RGBA) at bit depth 8, and writing gray / RGB / RGBA.
+Supports reading color types 0 (gray), 2 (RGB), 3 (palette, 8-bit
+only), 4 (gray+A), 6 (RGBA) at bit depths 8 and 16 (the 16-bit path
+mirrors stb_image.h's PNG16 support — Middlebury-style ground-truth
+disparity files), and writing uint8 gray / RGB / RGBA plus uint16
+gray / RGB.
 """
 
 from __future__ import annotations
@@ -48,13 +51,17 @@ def read_png(path: str) -> np.ndarray:
             break
     if w is None:
         raise ValueError(f"{path}: missing IHDR")
-    if bitdepth != 8:
-        raise NotImplementedError(f"{path}: bit depth {bitdepth} unsupported (8 only)")
+    if bitdepth not in (8, 16):
+        raise NotImplementedError(
+            f"{path}: bit depth {bitdepth} unsupported (8/16 only)")
+    if bitdepth == 16 and color_type == 3:
+        raise ValueError(f"{path}: 16-bit palette PNG is invalid")
     if interlace != 0:
         raise NotImplementedError(f"{path}: interlaced PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    bpp = channels * (bitdepth // 8)  # filter offset in bytes
+    stride = w * bpp
     expected = h * (stride + 1)
     if len(raw) != expected:
         raise ValueError(f"{path}: bad IDAT size {len(raw)} != {expected}")
@@ -63,7 +70,6 @@ def read_png(path: str) -> np.ndarray:
     lines = raw[:, 1:]
 
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel (8-bit)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         f = filters[y]
@@ -96,6 +102,11 @@ def read_png(path: str) -> np.ndarray:
         out[y] = cur
         prev = cur
 
+    if bitdepth == 16:
+        # big-endian sample pairs → host uint16
+        pairs = out.reshape(h, w, channels, 2).astype(np.uint16)
+        img = (pairs[..., 0] << 8) | pairs[..., 1]
+        return img[..., 0] if channels == 1 else img
     img = out.reshape(h, w, channels)
     if color_type == 3:
         if palette is None:
@@ -112,8 +123,11 @@ def read_png(path: str) -> np.ndarray:
 
 
 def write_png(path: str, img: np.ndarray) -> None:
-    """Writes uint8 (H,W) gray, (H,W,3) RGB or (H,W,4) RGBA."""
-    img = np.asarray(img, dtype=np.uint8)
+    """Writes uint8 (H,W) gray, (H,W,3) RGB, (H,W,4) RGBA; uint16
+    arrays are written as 16-bit PNGs (gray or RGB)."""
+    img = np.asarray(img)
+    bitdepth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(np.uint16 if bitdepth == 16 else np.uint8)
     if img.ndim == 2:
         color_type, channels = 0, 1
         img = img[..., None]
@@ -123,9 +137,14 @@ def write_png(path: str, img: np.ndarray) -> None:
         color_type, channels = 6, 4
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
+    if bitdepth == 16 and color_type == 6:
+        raise ValueError("16-bit RGBA write unsupported (gray/RGB only)")
     h, w = img.shape[:2]
-    flat = img.reshape(h, w * channels)
-    raw = np.zeros((h, w * channels + 1), dtype=np.uint8)
+    if bitdepth == 16:
+        flat = img.astype(">u2").view(np.uint8).reshape(h, w * channels * 2)
+    else:
+        flat = img.reshape(h, w * channels)
+    raw = np.zeros((h, flat.shape[1] + 1), dtype=np.uint8)
     raw[:, 1:] = flat  # filter type 0 per scanline
     compressed = zlib.compress(raw.tobytes(), 6)
 
@@ -137,7 +156,7 @@ def write_png(path: str, img: np.ndarray) -> None:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color_type, 0, 0, 0)
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(chunk(b"IHDR", ihdr))
