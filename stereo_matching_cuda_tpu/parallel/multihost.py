@@ -23,14 +23,22 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """jax.distributed.initialize wrapper; no-op when single-process
-    (auto-detection also works on Cloud TPU pods with no arguments)."""
+    (auto-detection also works on Cloud TPU pods with no arguments).
+
+    With explicit arguments every failure propagates — a half-failed
+    cluster init must not silently degrade to single-process.  With no
+    arguments, only the specific "no cluster environment detected"
+    ValueError is treated as the single-process case."""
     if num_processes is not None and num_processes <= 1:
         return
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process / unsupported environment
+        except ValueError:
+            # auto-detection found no coordinator (plain single-process
+            # run); anything else — timeouts, version skew, partial
+            # clusters — propagates
+            return
         return
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 

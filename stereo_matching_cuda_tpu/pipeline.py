@@ -21,6 +21,17 @@ from .config import StereoConfig, DEFAULT_CONFIG
 from . import ops
 
 
+def use_fused_path(cfg: StereoConfig, full_outputs: bool = False) -> bool:
+    """Whether the pipeline runs the fused Pallas kernel: requires a
+    Mosaic (TPU) backend; "auto" also skips it in parity mode and when
+    intermediates are requested."""
+    return (
+        not full_outputs
+        and jax.default_backend() == "tpu"
+        and (cfg.fused is True or (cfg.fused == "auto" and not cfg.exact_integral))
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "full_outputs"))
 def stereo_pipeline(
     rgb_left: jax.Array,
@@ -36,14 +47,7 @@ def stereo_pipeline(
     """
     gl = ops.rgb_to_grayscale(rgb_left, cfg)
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
-    # fused kernel requires a Mosaic (TPU) backend; "auto" also skips it
-    # in parity mode and when intermediates are requested
-    use_fused = (
-        not full_outputs
-        and jax.default_backend() == "tpu"
-        and (cfg.fused is True or (cfg.fused == "auto" and not cfg.exact_integral))
-    )
-    if use_fused:
+    if use_fused_path(cfg, full_outputs):
         from .ops.pallas_guided import guided_wta_fused
 
         best_l, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)

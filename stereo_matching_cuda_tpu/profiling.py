@@ -26,23 +26,37 @@ from .config import StereoConfig, DEFAULT_CONFIG
 from . import ops
 
 
-def _prefix_fn(cfg: StereoConfig, stage: int):
-    """Pipeline prefix ending after `stage` (0=gray, 1=+cost,
-    2=+guided/WTA, 3=+LR, 4=+fill); returns a reduced scalar."""
+def _prefix_fn(cfg: StereoConfig, stage: int, fused: bool):
+    """Pipeline prefix ending after `stage`; returns a reduced scalar.
+
+    Unfused stages: 0=gray, 1=+cost, 2=+guided/WTA, 3=+LR, 4=+fill.
+    Fused stages (the TPU production path, ops/pallas_guided.py):
+    0=gray, 1=+fused L, 2=+fused L+R, 3=+LR, 4=+fill.
+    """
 
     def run(l, r):
         gl = ops.rgb_to_grayscale(l, cfg)
         gr = ops.rgb_to_grayscale(r, cfg)
         if stage == 0:
             return gl.astype(jnp.float32).sum() + gr.astype(jnp.float32).sum()
-        cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
-        cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
-        if stage == 1:
-            return cost_l.sum() + cost_r.sum()
-        best_l, dmap_l, _ = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
-        best_r, dmap_r, _ = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
-        if stage == 2:
-            return dmap_l.sum() + dmap_r.sum()
+        if fused:
+            from .ops.pallas_guided import guided_wta_fused
+
+            _, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
+            if stage == 1:
+                return dmap_l.sum()
+            _, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
+            if stage == 2:
+                return dmap_l.sum() + dmap_r.sum()
+        else:
+            cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
+            cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
+            if stage == 1:
+                return cost_l.sum() + cost_r.sum()
+            _, dmap_l, _ = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
+            _, dmap_r, _ = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
+            if stage == 2:
+                return dmap_l.sum() + dmap_r.sum()
         occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
         if stage == 3:
             return occ.sum()
@@ -63,7 +77,7 @@ def _chained(fn, n):
     return jax.jit(looped)
 
 
-STAGES = [
+STAGES_UNFUSED = [
     ("rgb_to_grayscale x2", 0),
     ("cost_volume x2", 1),
     ("guided_filter+WTA x2", 2),
@@ -71,16 +85,30 @@ STAGES = [
     ("fill_occlusion", 4),
 ]
 
+STAGES_FUSED = [
+    ("rgb_to_grayscale x2", 0),
+    ("fused cost+guided+WTA L", 1),
+    ("fused cost+guided+WTA R", 2),
+    ("detect_occlusion", 3),
+    ("fill_occlusion", 4),
+]
+
 
 def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> list[dict]:
     """Returns [{stage, ms}] with per-frame device ms attributed to each
-    stage (cumulative-prefix differences, chained n-deep)."""
+    stage (cumulative-prefix differences, chained n-deep).  Times the
+    same path the pipeline runs: the fused Pallas kernel on TPU
+    (pipeline.use_fused_path), the unfused XLA graph elsewhere."""
+    from .pipeline import use_fused_path
+
+    fused = use_fused_path(cfg)
+    stages = STAGES_FUSED if fused else STAGES_UNFUSED
     l = jnp.asarray(left)
     r = jnp.asarray(right)
     cum = []
-    for name, stage in STAGES:
-        f1 = _chained(_prefix_fn(cfg, stage), 1)
-        fn_ = _chained(_prefix_fn(cfg, stage), n)
+    for name, stage in stages:
+        f1 = _chained(_prefix_fn(cfg, stage, fused), 1)
+        fn_ = _chained(_prefix_fn(cfg, stage, fused), n)
         float(f1(l, r)); float(fn_(l, r))  # compile both
         t1 = min(_t(f1, l, r), _t(f1, l, r))
         tn = min(_t(fn_, l, r), _t(fn_, l, r))
