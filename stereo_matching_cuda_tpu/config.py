@@ -70,6 +70,12 @@ class StereoConfig:
     # True/False force.  Mutually exclusive with exact_integral (the
     # fused kernel is the fast path; ties may flip vs the oracle).
     fused: str | bool = "auto"
+    # Compute both views in ONE fused kernel pass (shared DMA,
+    # derivatives, raw cost slices — ops/pallas_guided.py
+    # guided_wta_fused_dual).  "auto" = when the fused path runs and
+    # size_d fits the unrolled d-loop; True forces (errors if
+    # ineligible); False always uses two per-view kernel calls.
+    dual_view: str | bool = "auto"
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -89,6 +95,9 @@ class StereoConfig:
         if self.fused not in (True, False, "auto"):
             raise ValueError(
                 f"fused must be True, False or 'auto', got {self.fused!r}")
+        if self.dual_view not in (True, False, "auto"):
+            raise ValueError(
+                f"dual_view must be True, False or 'auto', got {self.dual_view!r}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

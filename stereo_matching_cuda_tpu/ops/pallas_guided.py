@@ -50,10 +50,14 @@ from .guided import BEST_COST_INIT
 
 
 def _pick_tiles(h: int, w: int, px: int, halo_y: int,
-                vmem_budget: int = int(15.7 * 2**20)) -> tuple[int, int]:
+                vmem_budget: int = int(15.7 * 2**20),
+                n_live: int = 45) -> tuple[int, int]:
     """(strip_height, tile_width) that fit VMEM; wide images tile in x
     as well (halo rows/cols are recomputed per tile — the picker
-    minimizes that overhead subject to the VMEM estimate below)."""
+    minimizes that overhead subject to the VMEM estimate below).
+    ``n_live`` = ext-tile f32 buffers Mosaic keeps live through the
+    unrolled d-loop (measured ~45 for the single-view kernel; the
+    dual-view kernel runs two guided chains per slice and needs more)."""
     best = None
     for tw in (w, 2048, 1024, 512, 384, 256):
         if tw > w:
@@ -63,10 +67,10 @@ def _pick_tiles(h: int, w: int, px: int, halo_y: int,
             if sh > max(8, h):
                 continue
             she = sh + 2 * halo_y
-            # ~45 ext-tile f32 values live through the unrolled d-loop
-            # (measured: she=176, wte=640 → 19.0 MB OOM; 176×512 fit),
-            # plus the (she, she) band matrix and 2 DMA scratch tiles.
-            est = (45 * she * wte + she * she) * 4
+            # n_live ext-tile f32 values live through the unrolled
+            # d-loop (measured: she=176, wte=640 → 19.0 MB OOM; 176×512
+            # fit), plus the (she, she) band matrix and DMA scratch.
+            est = (n_live * she * wte + she * she) * 4
             if est > vmem_budget:
                 continue
             # minimize recomputed halo area per retained pixel
@@ -364,6 +368,213 @@ def guided_wta_fused(
     # static slice-s shifts read I2 at gx + dmin + s
     return _fused_tiles(prep(gray1, px), prep(gray2, px - dmin), origin, cfg,
                         H, W, H, W, halo_y, px, sh, tw)
+
+
+def dual_geometry(cfg: StereoConfig) -> tuple[int, int]:
+    """(halo_y, px) for the dual-view kernel.  The shared raw cost
+    slice is consumed by BOTH views — the right view reads it rolled by
+    d_l — so the column budget covers the chained reach
+    max(0, d_max) + max(0, -d_min) (for ranges on one side of zero this
+    equals max|d|, the single-view budget)."""
+    r = cfg.radius
+    halo_y = ((2 * (r + 1) + 2) + 7) // 8 * 8
+    reach = max(0, cfg.d_max) + max(0, -cfg.d_min)
+    return halo_y, reach + 1 + 2 * (r + 1)
+
+
+def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
+                      sh: int, tw: int, nx: int, halo_y: int, px: int,
+                      w_ext: int):
+    """Both views in one pass over each (y-strip, x-tile): the two
+    grayscale tiles are DMA'd once, derivatives and the raw truncated
+    AD+gradient cost slice are computed once, and the right view's raw
+    slice is the left's rolled by d_l (cost_R(x, d_r) = cost_L(x+d_r,
+    -d_r), SURVEY.md §2.5.7).  Each view keeps its own guide statistics
+    and guided chain.
+
+    Tie rules: the reference iterates each view's d-loop ascending with
+    `best >= q` (largest label wins ties, guidedFilter.cu:403-411).
+    This kernel iterates the LEFT labels ascending, so the right labels
+    d_r = -d_l run DESCENDING and the right update must be strict
+    `best > q` for the largest d_r to keep winning ties.
+
+    Disparity labels here are compile-time constants (one program
+    serves one frame; the runtime-dmin reuse trick of _make_kernel is
+    unnecessary because there is no second view to share with)."""
+    r = cfg.radius
+    size_d = cfg.size_d
+    dmin = cfg.d_min
+    alpha = np.float32(cfg.alpha)
+    one = np.float32(1)
+    th_color = np.float32(cfg.th_color)
+    th_grad = np.float32(cfg.th_grad)
+    oob = (one - alpha) * th_color + alpha * th_grad
+    eps = np.float32(cfg.eps)
+    she = sh + 2 * halo_y
+
+    def kernel(origin_ref, i1_hbm, i2_hbm,
+               best_l_ref, dmap_l_ref, best_r_ref, dmap_r_ref,
+               v1, v2, sems):
+        tile = pl.program_id(0)
+        ty = tile // nx
+        tx = tile % nx
+        y0 = ty * sh - halo_y + origin_ref[0]
+        x0 = tx * tw - px + origin_ref[1]
+        d1 = pltpu.make_async_copy(
+            i1_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)],
+            v1, sems.at[0])
+        d2 = pltpu.make_async_copy(
+            i2_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)],
+            v2, sems.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+        I1 = v1[:]
+        I2 = v2[:]
+
+        gx = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 1) + x0
+        gy = jax.lax.broadcasted_iota(jnp.int32, (she, w_ext), 0) + y0
+        in_img = (gx >= 0) & (gx < W) & (gy >= 0) & (gy < H)
+
+        ay = (jnp.minimum(H - 1, gy + r) - jnp.maximum(-1, gy - r - 1))
+        ax = (jnp.minimum(W - 1, gx + r) - jnp.maximum(-1, gx - r - 1))
+        inv_area = one / (ay * ax).astype(jnp.float32)
+
+        my = _band_matrix(she, r)
+
+        def boxm(x):
+            return _box_sum_hybrid(x, r, my) * inv_area
+
+        def deriv(I, g):
+            c1 = jnp.where(g < W - 1, _shift_x_vmem(I, 1), I)
+            c2 = jnp.where(g > 0, _shift_x_vmem(I, -1), I)
+            return (c2 - c1) * np.float32(0.5)
+
+        der1 = deriv(I1, gx)
+        der2 = deriv(I2, gx)
+
+        mean_i1 = boxm(I1)
+        c1 = one / (boxm(I1 * I1) - mean_i1 * mean_i1 + eps)
+        mean_i2 = boxm(I2)
+        c2 = one / (boxm(I2 * I2) - mean_i2 * mean_i2 + eps)
+
+        crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
+        I1c = crop(I1)
+        I2c = crop(I2)
+
+        def guided_q(cost, Ifull, Icrop, mean_i, c):
+            mean_p = boxm(cost)
+            mean_ip = boxm(Ifull * cost)
+            a = (mean_ip - mean_i * mean_p) * c
+            b = mean_p - mean_i * a
+            a = jnp.where(in_img, a, 0.0)
+            b = jnp.where(in_img, b, 0.0)
+            return crop(boxm(a)) * Icrop + crop(boxm(b))
+
+        best_l = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
+        dmap_l = jnp.zeros((sh, tw), jnp.float32)
+        best_r = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
+        dmap_r = jnp.zeros((sh, tw), jnp.float32)
+
+        for s in range(size_d):
+            d = dmin + s  # left label, static
+            I2s = _shift_x_vmem(I2, d)
+            d2s = _shift_x_vmem(der2, d)
+            raw = (one - alpha) * jnp.minimum(jnp.abs(I1 - I2s), th_color) + (
+                alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
+            # left view, label d ascending
+            valid_l = (gx + d >= 0) & (gx + d < W)
+            cost_l = jnp.where(in_img, jnp.where(valid_l, raw, oob), 0.0)
+            q = guided_q(cost_l, I1, I1c, mean_i1, c1)
+            upd = best_l >= q
+            best_l = jnp.where(upd, q, best_l)
+            dmap_l = jnp.where(upd, np.float32(d), dmap_l)
+            # right view, label -d descending: raw_r(x) = raw(x - d)
+            raw_r = _roll(raw, d, 1)
+            valid_r = (gx - d >= 0) & (gx - d < W)
+            cost_r = jnp.where(in_img, jnp.where(valid_r, raw_r, oob), 0.0)
+            q = guided_q(cost_r, I2, I2c, mean_i2, c2)
+            upd = best_r > q
+            best_r = jnp.where(upd, q, best_r)
+            dmap_r = jnp.where(upd, np.float32(-d), dmap_r)
+
+        best_l_ref[0] = best_l
+        dmap_l_ref[0] = dmap_l
+        best_r_ref[0] = best_r
+        dmap_r_ref[0] = dmap_r
+
+    return kernel
+
+
+# VMEM live-buffer estimate for the dual kernel's unrolled loop (two
+# guided chains per slice; calibrated on hardware — see BENCH.md)
+_DUAL_N_LIVE = 70
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def guided_wta_fused_dual(
+    gray_l: jax.Array,
+    gray_r: jax.Array,
+    cfg: StereoConfig = DEFAULT_CONFIG,
+):
+    """uint8 (H,W) ×2 → (best_l, dmap_l, best_r, dmap_r), all f32 (H,W).
+
+    One kernel pass computes BOTH views (shared DMA, derivatives and
+    raw cost slices) — the frame's whole matching stage in one Mosaic
+    program.  Only for size_d <= _UNROLL_MAX (the wide-range fori_loop
+    variant cannot roll the shared slice by a loop-carried d); callers
+    fall back to two guided_wta_fused calls beyond."""
+    if cfg.size_d > _UNROLL_MAX:
+        raise ValueError(
+            f"dual-view kernel requires size_d <= {_UNROLL_MAX}, got "
+            f"{cfg.size_d}; use guided_wta_fused per view")
+    H, W = gray_l.shape
+    halo_y, px = dual_geometry(cfg)
+    sh, tw = _pick_tiles(H, W, px, halo_y, n_live=_DUAL_N_LIVE)
+    w_ext = ((tw + 2 * px + 127) // 128) * 128
+    ny = (H + sh - 1) // sh
+    nx = (W + tw - 1) // tw
+    width = max((nx - 1) * tw + w_ext, W + 2 * px)
+
+    def prep(g):
+        I = g.astype(jnp.float32)
+        P = jnp.zeros((ny * sh + 2 * halo_y, width), jnp.float32)
+        return jax.lax.dynamic_update_slice(P, I, (halo_y, px))
+
+    kernel = _make_dual_kernel(cfg, H, W, sh, tw, nx, halo_y, px, w_ext)
+    she = sh + 2 * halo_y
+    origin = jnp.array([0, 0], jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ny * nx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((she, w_ext), jnp.float32),
+                pltpu.VMEM((she, w_ext), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, sh, tw), lambda i, ref: (i, 0, 0))
+                for _ in range(4)
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32)
+            for _ in range(4)
+        ],
+    )(origin, prep(gray_l), prep(gray_r))
+
+    def untile(t):
+        t = t.reshape(ny, nx, sh, tw).transpose(0, 2, 1, 3)
+        return t.reshape(ny * sh, nx * tw)[:H, :W]
+
+    return tuple(untile(t) for t in outs)
 
 
 def guided_wta_fused_local(

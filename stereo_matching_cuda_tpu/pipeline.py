@@ -48,10 +48,16 @@ def stereo_pipeline(
     gl = ops.rgb_to_grayscale(rgb_left, cfg)
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
     if use_fused_path(cfg, full_outputs):
-        from .ops.pallas_guided import guided_wta_fused
+        from .ops.pallas_guided import (
+            _UNROLL_MAX, guided_wta_fused, guided_wta_fused_dual)
 
-        best_l, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
-        best_r, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
+        dual = cfg.dual_view is True or (
+            cfg.dual_view == "auto" and cfg.size_d <= _UNROLL_MAX)
+        if dual:
+            best_l, dmap_l, best_r, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
+        else:
+            best_l, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
+            best_r, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
         mean_l = mean_r = None
     else:
         cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)

@@ -158,6 +158,77 @@ def test_fused_straddling_disparity_range():
     assert mism <= max(4, dmap.size * 3e-3), f"{mism}/{dmap.size}"
 
 
+@pytest.mark.parametrize("shape", [(64, 96), (40, 384)])
+def test_dual_view_matches_oracle(shape):
+    """The dual-view kernel (shared DMA/derivatives/raw slices, right
+    view via cost_R(x,d_r)=cost_L(x+d_r,-d_r) with strict-> descending
+    tie rule) must agree with the per-view oracle on both maps."""
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
+
+    g1, g2 = _pair(*shape)
+    cost_l = R.cost_volume(g1, g2, CFG.d_min, CFG)
+    wb_l, wd_l, _ = R.guided_filter_wta(g1, cost_l, CFG.d_min, CFG)
+    cost_r = R.cost_volume(g2, g1, CFG.d_min_right, CFG)
+    wb_r, wd_r, _ = R.guided_filter_wta(g2, cost_r, CFG.d_min_right, CFG)
+    bl, dl, br, dr = guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), CFG)
+    for got_d, got_b, want_d, want_b, name in [
+            (dl, bl, wd_l, wb_l, "left"), (dr, br, wd_r, wb_r, "right")]:
+        got_d = np.asarray(got_d)
+        mism = int((got_d != want_d).sum())
+        assert mism <= max(4, got_d.size * 2e-3), f"{name}: {mism}/{got_d.size}"
+        np.testing.assert_allclose(np.asarray(got_b), want_b, atol=2e-3,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_dual_view_tsukuba_near_parity(tsukuba):
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
+
+    left, right = tsukuba
+    gl = R.rgb_to_grayscale(left, CFG)
+    gr = R.rgb_to_grayscale(right, CFG)
+    wd_l = R.guided_filter_wta(gl, R.cost_volume(gl, gr, CFG.d_min, CFG),
+                               CFG.d_min, CFG)[1]
+    wd_r = R.guided_filter_wta(gr, R.cost_volume(gr, gl, CFG.d_min_right, CFG),
+                               CFG.d_min_right, CFG)[1]
+    _, dl, _, dr = guided_wta_fused_dual(jnp.asarray(gl), jnp.asarray(gr), CFG)
+    for got, want, name in [(dl, wd_l, "left"), (dr, wd_r, "right")]:
+        mism = int((np.asarray(got) != want).sum())
+        assert mism <= want.size * 2e-4, f"{name}: {mism}/{want.size}"
+
+
+def test_dual_view_straddling_range():
+    """Ranges straddling zero chain the roll reach (d_max + |d_min|);
+    dual_geometry must budget for it."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.ops.pallas_guided import (
+        dual_geometry, guided_wta_fused_dual)
+
+    cfg_s = dataclasses.replace(CFG, d_min=-8, d_max=8)
+    _, px = dual_geometry(cfg_s)
+    assert px >= 16 + 1 + 2 * (cfg_s.radius + 1)
+    g1, g2 = _pair(48, 96, seed=11)
+    wd_l = R.guided_filter_wta(
+        g1, R.cost_volume(g1, g2, cfg_s.d_min, cfg_s), cfg_s.d_min, cfg_s)[1]
+    wd_r = R.guided_filter_wta(
+        g2, R.cost_volume(g2, g1, cfg_s.d_min_right, cfg_s),
+        cfg_s.d_min_right, cfg_s)[1]
+    _, dl, _, dr = guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg_s)
+    for got, want, name in [(dl, wd_l, "left"), (dr, wd_r, "right")]:
+        mism = int((np.asarray(got) != want).sum())
+        assert mism <= max(4, want.size * 3e-3), f"{name}: {mism}/{want.size}"
+
+
+def test_dual_view_wide_range_rejected():
+    from stereo_matching_cuda_tpu.config import StereoConfig
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
+
+    cfg64 = StereoConfig(d_min=-63, d_max=0)
+    g1, g2 = _pair(48, 160)
+    with pytest.raises(ValueError, match="dual-view"):
+        guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg64)
+
+
 def test_fused_wide_range_fori_loop():
     """size_d > 32 switches the kernel's d-loop to a fori_loop with an
     incrementally-rolled match image (a 128-way unroll grinds Mosaic
