@@ -76,6 +76,11 @@ class StereoConfig:
     # size_d fits the unrolled d-loop; True forces (errors if
     # ineligible); False always uses two per-view kernel calls.
     dual_view: str | bool = "auto"
+    # Run the pipeline as separately-jitted stages chained in Python
+    # instead of one composed jit.  "auto" = big frames on TPU (the
+    # composed-module XLA compile is pathological at bike scale —
+    # BENCH.md); True/False force.  Identical numerics either way.
+    staged: str | bool = "auto"
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -98,6 +103,9 @@ class StereoConfig:
         if self.dual_view not in (True, False, "auto"):
             raise ValueError(
                 f"dual_view must be True, False or 'auto', got {self.dual_view!r}")
+        if self.staged not in (True, False, "auto"):
+            raise ValueError(
+                f"staged must be True, False or 'auto', got {self.staged!r}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

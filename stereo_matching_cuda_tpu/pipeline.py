@@ -82,14 +82,104 @@ def stereo_pipeline(
     return out
 
 
+# Above this many pixels the composed one-jit module hits a
+# pathological XLA compile on the TPU backend (>50 min at 6 MP while
+# the stages alone compile in ~153 s — BENCH.md); the pipeline then
+# runs the stages as separate executables chained at the Python level.
+_STAGED_PIXELS = 1 << 21
+
+
+def use_staged_path(cfg: StereoConfig, h: int, w: int) -> bool:
+    """Whether compute_disparity runs separately-jitted stages instead
+    of the single composed jit (big-frame TPU compile pathology)."""
+    if cfg.staged in (True, False):
+        return cfg.staged
+    return h * w >= _STAGED_PIXELS and jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _gray_stage(rgb: jax.Array, cfg: StereoConfig) -> jax.Array:
+    return ops.rgb_to_grayscale(rgb, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "full_outputs"))
+def _matching_stage(gl, gr, cfg: StereoConfig, full_outputs: bool = False):
+    """Both views' (best, dmap) from grayscales; with ``full_outputs``
+    also the unfused intermediates (mean images, cost slice 0)."""
+    if use_fused_path(cfg, full_outputs):
+        from .ops.pallas_guided import (
+            _UNROLL_MAX, guided_wta_fused, guided_wta_fused_dual)
+
+        dual = cfg.dual_view is True or (
+            cfg.dual_view == "auto" and cfg.size_d <= _UNROLL_MAX)
+        if dual:
+            best_l, dmap_l, best_r, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
+        else:
+            best_l, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
+            best_r, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
+        return best_l, dmap_l, best_r, dmap_r, None, None, None, None
+    cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
+    cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
+    best_l, dmap_l, mean_l = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
+    best_r, dmap_r, mean_r = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
+    if not full_outputs:
+        return best_l, dmap_l, best_r, dmap_r, None, None, None, None
+    return best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, cost_l[0], cost_r[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _post_stage(dmap_l, dmap_r, cfg: StereoConfig):
+    occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
+    return occ, ops.fill_occlusion(occ, cfg.v_min, cfg)
+
+
+def stereo_pipeline_staged(
+    rgb_left: jax.Array,
+    rgb_right: jax.Array,
+    cfg: StereoConfig = DEFAULT_CONFIG,
+    full_outputs: bool = False,
+) -> dict:
+    """Same math as stereo_pipeline, but each stage is its own jitted
+    executable chained at the Python level (data dependencies serialize
+    execution).  Identical outputs; pays inter-stage dispatch latency,
+    avoids the composed-module compile pathology at bike scale."""
+    gl = _gray_stage(jnp.asarray(rgb_left), cfg)
+    gr = _gray_stage(jnp.asarray(rgb_right), cfg)
+    best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, c0_l, c0_r = (
+        _matching_stage(gl, gr, cfg, full_outputs))
+    occ, filled = _post_stage(dmap_l, dmap_r, cfg)
+    out = {
+        "disparity_left": dmap_l,
+        "disparity_right": dmap_r,
+        "occlusion": occ,
+        "occlusion_filled": filled,
+    }
+    if full_outputs:
+        out.update(
+            gray_left=gl, gray_right=gr,
+            mean_left=mean_l, mean_right=mean_r,
+            best_cost_left=best_l, best_cost_right=best_r,
+            cost_left_s0=c0_l, cost_right_s0=c0_r,
+        )
+    return out
+
+
 def compute_disparity(
     rgb_left: np.ndarray,
     rgb_right: np.ndarray,
     cfg: StereoConfig = DEFAULT_CONFIG,
     full_outputs: bool = False,
 ) -> dict:
-    """Host-convenience wrapper: numpy in → numpy out, blocking."""
-    out = stereo_pipeline(jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)
+    """Host-convenience wrapper: numpy in → numpy out, blocking.
+
+    Bike-scale frames automatically take the staged path (see
+    use_staged_path); the math is identical either way."""
+    if use_staged_path(cfg, rgb_left.shape[0], rgb_left.shape[1]):
+        out = stereo_pipeline_staged(
+            jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)
+    else:
+        out = stereo_pipeline(
+            jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)
     return {k: np.asarray(v) for k, v in out.items()}
 
 
