@@ -44,6 +44,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disparity slices per scan step (bounds peak HBM)")
     p.add_argument("--exact", action="store_true",
                    help="bit-exact parity mode (sequential integral images)")
+    p.add_argument("--fused", choices=["auto", "on", "off"], default="auto",
+                   help="fused Pallas cost+guided+WTA kernel (TPU only; "
+                        "auto = on TPU outside parity mode)")
+    p.add_argument("--dual-view", choices=["auto", "on", "off"], default="auto",
+                   help="compute both views in one fused kernel pass "
+                        "(auto = when fused and the range fits)")
+    p.add_argument("--staged", choices=["auto", "on", "off"], default="auto",
+                   help="run stages as separate executables (auto = "
+                        "bike-scale frames on TPU; see BENCH.md)")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",
@@ -113,11 +122,20 @@ def _run_sequence(args, cfg) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    tristate = {"auto": "auto", "on": True, "off": False}
+    if args.fused == "on" and args.exact:
+        print("error: --fused on is incompatible with --exact (the fused "
+              "kernel is the fast path; WTA near-ties may flip)",
+              file=sys.stderr)
+        return 2
     cfg = StereoConfig(
         d_min=args.d_min, d_max=args.d_max, alpha=args.alpha,
         th_color=args.th_color, th_grad=args.th_grad, radius=args.radius,
         eps=args.eps, d_lr=args.d_lr, d_chunk=args.d_chunk,
         exact_integral=args.exact,
+        fused=tristate[args.fused],
+        dual_view=tristate[args.dual_view],
+        staged=tristate[args.staged],
     )
     if args.mesh and args.exact:
         print("error: --mesh does not support --exact (the sharded pipeline "

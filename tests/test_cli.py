@@ -64,3 +64,29 @@ def test_cli_mesh_mode(tmp_path):
     r = _run([lp, rp, "-o", str(tmp_path / "out"), "--mesh", "1,1,2,2", "--json"])
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "out" / "disparity_mapl.png").exists()
+
+
+def test_cli_flag_combinations_exit2(tmp_path):
+    """Invalid combinations must print a clean error, not a traceback."""
+    lp, rp = _write_pair(tmp_path)
+    for extra in (["--mesh", "1,1,2", "--exact"],
+                  ["--mesh", "1,1,2", "--aggregation", "box"],
+                  ["--fused", "on", "--exact"]):
+        p = _run([lp, rp, "-o", str(tmp_path)] + extra)
+        assert p.returncode == 2, (extra, p.stderr)
+        assert "error:" in p.stderr and "Traceback" not in p.stderr, p.stderr
+
+
+def test_cli_staged_flag_matches_default(tmp_path):
+    """--staged on must produce the same outputs as the composed path."""
+    lp, rp = _write_pair(tmp_path)
+    out1 = tmp_path / "composed"
+    out2 = tmp_path / "staged"
+    assert _run([lp, rp, "-o", str(out1)]).returncode == 0
+    assert _run([lp, rp, "-o", str(out2), "--staged", "on"]).returncode == 0
+    from stereo_matching_cuda_tpu.utils.io import read_png
+
+    for name in ("disparity_mapl", "occlu_mapl_filled"):
+        np.testing.assert_array_equal(
+            read_png(str(out1 / f"{name}.png")),
+            read_png(str(out2 / f"{name}.png")), err_msg=name)

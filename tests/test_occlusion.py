@@ -61,3 +61,29 @@ def test_fill_occlusion_contiguous_run_takes_max_of_ends():
     want = R.fill_occlusion(disp, CFG.v_min)
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got, [[0.0, 0.0, 0.0, 0.0, -3.0]])
+
+
+def test_packed_fill_equals_generic_scan(rng):
+    """The packed-cummax fill (single int32 cummax) must match the
+    generic tuple-carry scan bit-for-bit on label maps, including
+    all-occluded rows and rows with one valid side."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG as CFG
+    from stereo_matching_cuda_tpu.ops.occlusion import fill_occlusion
+
+    for d_min, d_max in [(-15, 0), (-8, 8), (-127, 0)]:
+        cfg = dataclasses.replace(CFG, d_min=d_min, d_max=d_max)
+        labels = np.arange(d_min, d_max + 1, dtype=np.float32)
+        disp = rng.choice(labels, size=(23, 310)).astype(np.float32)
+        occl = rng.random((23, 310)) < 0.3
+        disp = np.where(occl, np.float32(cfg.d_occlusion), disp)
+        disp[3, :] = cfg.d_occlusion          # fully occluded row
+        disp[4, :150] = cfg.d_occlusion       # no valid left side
+        disp[5, 100:] = cfg.d_occlusion       # no valid right side
+        fast = np.asarray(fill_occlusion(jnp.asarray(disp), cfg.v_min, cfg))
+        slow = np.asarray(fill_occlusion(jnp.asarray(disp), cfg.v_min, cfg,
+                                         exact_labels=False))
+        np.testing.assert_array_equal(fast, slow, err_msg=f"{d_min},{d_max}")
