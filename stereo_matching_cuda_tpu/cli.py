@@ -21,7 +21,7 @@ import numpy as np
 
 from .config import StereoConfig
 from . import reference as R
-from .utils.io import read_png, write_png
+from .utils.io import read_image, write_png
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -98,8 +98,8 @@ def _run_sequence(args, cfg) -> int:
     n = 0
     for lp, rp in zip(lefts, rights):
         try:
-            left = read_png(lp)
-            right = read_png(rp)
+            left = read_image(lp)
+            right = read_image(rp)
         except (OSError, ValueError, NotImplementedError) as e:
             print(f"error: {lp}/{rp}: {e}", file=sys.stderr)
             return 2
@@ -149,8 +149,8 @@ def main(argv=None) -> int:
     if args.sequence:
         return _run_sequence(args, cfg)
     try:
-        left = read_png(args.left)
-        right = read_png(args.right)
+        left = read_image(args.left)
+        right = read_image(args.right)
     except (OSError, ValueError, NotImplementedError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -224,9 +224,12 @@ def main(argv=None) -> int:
     if args.gt:
         from .metrics import bad_pixel_rate, end_point_error
 
-        gt_img = read_png(args.gt).astype(np.float32)
+        gt_img = read_image(args.gt).astype(np.float32)
         if gt_img.ndim == 3:
             gt_img = gt_img[..., 0]
+        # Middlebury PFM marks unknown pixels with inf; map them to the
+        # metrics' gt_invalid value (0) so they are excluded
+        gt_img = np.where(np.isfinite(gt_img), gt_img, np.float32(0))
         gt = gt_img / np.float32(args.gt_scale)
         disp = np.abs(np.asarray(out["occlusion_filled"], dtype=np.float32))
         stats["bad_2_0_pct"] = round(bad_pixel_rate(disp, gt, 2.0), 3)

@@ -39,7 +39,13 @@ def _prefix_fn(cfg: StereoConfig, stage: int, fused: bool):
         gr = ops.rgb_to_grayscale(r, cfg)
         if stage == 0:
             return gl.astype(jnp.float32).sum() + gr.astype(jnp.float32).sum()
-        if fused:
+        if fused == "dual":
+            from .ops.pallas_guided import guided_wta_fused_dual
+
+            _, dmap_l, _, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
+            if stage <= 2:
+                return dmap_l.sum() + dmap_r.sum()
+        elif fused:
             from .ops.pallas_guided import guided_wta_fused
 
             _, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
@@ -93,6 +99,13 @@ STAGES_FUSED = [
     ("fill_occlusion", 4),
 ]
 
+STAGES_DUAL = [
+    ("rgb_to_grayscale x2", 0),
+    ("fused dual-view cost+guided+WTA", 2),
+    ("detect_occlusion", 3),
+    ("fill_occlusion", 4),
+]
+
 
 def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> list[dict]:
     """Returns [{stage, ms}] with per-frame device ms attributed to each
@@ -102,7 +115,14 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> 
     from .pipeline import use_fused_path
 
     fused = use_fused_path(cfg)
-    stages = STAGES_FUSED if fused else STAGES_UNFUSED
+    if fused:
+        from .ops.pallas_guided import _UNROLL_MAX
+
+        if cfg.dual_view is True or (
+                cfg.dual_view == "auto" and cfg.size_d <= _UNROLL_MAX):
+            fused = "dual"
+    stages = ({"dual": STAGES_DUAL, True: STAGES_FUSED}.get(fused)
+              or STAGES_UNFUSED)
     l = jnp.asarray(left)
     r = jnp.asarray(right)
     cum = []

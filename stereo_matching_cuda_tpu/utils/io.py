@@ -143,6 +143,26 @@ def write_png(path: str, img: np.ndarray) -> None:
         raise OSError(f"sio_write_png failed with code {rc} for {path}")
 
 
+def read_image(path: str) -> np.ndarray:
+    """Format-dispatching reader (magic bytes): PNG, PGM/PPM (P5/P6),
+    PFM (Pf/PF float — Middlebury ground-truth disparities).  The
+    reference's stb layer reads PNM alongside PNG; PFM covers the
+    Middlebury GT workflow."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x89P":
+        return read_png(path)
+    if magic in (b"P5", b"P6"):
+        from . import pnm
+
+        return pnm.read_pnm(path)
+    if magic in (b"Pf", b"PF"):
+        from . import pnm
+
+        return pnm.read_pfm(path)
+    raise ValueError(f"{path}: unrecognized image format (magic {magic!r})")
+
+
 def write_mat_normalize(mat: np.ndarray) -> np.ndarray:
     """Native write_mat min-max normalizer (main.cu:13-35); falls back
     to the NumPy oracle implementation."""
