@@ -94,6 +94,24 @@ per_ms(full(dataclasses.replace(cfg, dual_view=False)), left, right,
 per_ms(full(dataclasses.replace(cfg, dual_view=True)), left, right,
        label="FULL pipeline dual-view")
 
+print("=== y-sum implementation (env STEREO_Y_SUM switch) ===", flush=True)
+import stereo_matching_cuda_tpu.ops.pallas_guided as pg  # noqa: E402
+
+pg._Y_SUM_IMPL = "roll"
+
+
+def singles_roll(l, r):
+    gl = ops.rgb_to_grayscale(l, cfg)
+    gr = ops.rgb_to_grayscale(r, cfg)
+    # separate wrapper fn so jax.jit does not reuse the mxu trace
+    _, dl = guided_wta_fused(gl, gr, cfg.d_min, dataclasses.replace(cfg, eps=cfg.eps * (1 + 1e-12)))
+    _, dr = guided_wta_fused(gr, gl, cfg.d_min_right, dataclasses.replace(cfg, eps=cfg.eps * (1 + 1e-12)))
+    return dl.sum() + dr.sum()
+
+
+per_ms(singles_roll, left, right, label="fused x2, y-sum=ROLL (VPU)")
+pg._Y_SUM_IMPL = "mxu"
+
 print("=== 6 MP 1992x3008 D=16 (kernel stage only) ===", flush=True)
 rng = np.random.default_rng(1)
 big_l = jnp.asarray(rng.integers(0, 256, (1992, 3008, 3), np.uint8))

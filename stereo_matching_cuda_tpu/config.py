@@ -81,6 +81,10 @@ class StereoConfig:
     # composed-module XLA compile is pathological at bike scale —
     # BENCH.md); True/False force.  Identical numerics either way.
     staged: str | bool = "auto"
+    # Fused-kernel d-loop unroll threshold override (None = the
+    # module default, 32).  Unrolled runs ~9% faster per frame; Mosaic
+    # compile time grows superlinearly in the unroll factor (BENCH.md).
+    unroll_max: Optional[int] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -106,6 +110,8 @@ class StereoConfig:
         if self.staged not in (True, False, "auto"):
             raise ValueError(
                 f"staged must be True, False or 'auto', got {self.staged!r}")
+        if self.unroll_max is not None and self.unroll_max < 1:
+            raise ValueError(f"unroll_max must be >= 1, got {self.unroll_max}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

@@ -38,6 +38,7 @@ mode.  Parity testing uses the unfused exact path.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -87,8 +88,16 @@ def _pick_tiles(h: int, w: int, px: int, halo_y: int,
 
 
 # d-loop unroll threshold: ranges up to this unroll statically; wider
-# ranges use the in-kernel fori_loop (see _make_kernel)
+# ranges use the in-kernel fori_loop (see _make_kernel).  Measured
+# tradeoff on v5e (BENCH.md): the unrolled form runs ~9% faster per
+# frame but Mosaic compile time grows superlinearly in the unroll
+# factor (16-way ≈ 80-200 s, 128-way > 40 min; the fori form compiles
+# in 2-6 s).  cfg.unroll_max overrides per run.
 _UNROLL_MAX = 32
+
+
+def unroll_max(cfg: StereoConfig) -> int:
+    return _UNROLL_MAX if cfg.unroll_max is None else cfg.unroll_max
 
 
 def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
@@ -128,14 +137,26 @@ def _band_matrix(n: int, r: int) -> jax.Array:
     return (jnp.abs(i - j) <= r).astype(jnp.float32)
 
 
+# y-direction window-sum implementation: "mxu" = banded matmul on the
+# MXU; "roll" = log-doubling sublane rolls on the VPU (exact f32 adds,
+# no MXU passes).  Both are numerically fast-path class; the default is
+# the hardware-measured winner (BENCH.md).  Env override for benching.
+_Y_SUM_IMPL = os.environ.get("STEREO_Y_SUM", "mxu")
+
+
 def _box_sum_hybrid(x: jax.Array, r: int, my: jax.Array) -> jax.Array:
-    """Centered window sum: x-direction via log-doubling rolls (lane
-    shifts are cheap on the VPU), y-direction as a banded matmul on the
-    otherwise-idle MXU (sublane shifts are the awkward axis; the band
-    matrix is only (she, she)).  f32 matmul on TPU uses the 3-pass bf16
-    decomposition (~f32 accuracy; fast-path tolerance covers it)."""
+    """Centered window sum: x-direction via log-doubling lane rolls
+    (cheap on the VPU); y-direction either as a banded matmul on the
+    otherwise-idle MXU or as log-doubling sublane rolls (_Y_SUM_IMPL).
+
+    The matmul's band matrix clamps at tile-ext edges while the roll
+    form wraps garbage into the outermost r rows — both are outside
+    the halo_y >= 2(r+1) consumption region, so consumers see
+    identical coverage."""
     k = 2 * r + 1
     sx = _roll(_forward_window_sum(x, k, 1), r, 1)
+    if _Y_SUM_IMPL == "roll":
+        return _roll(_forward_window_sum(sx, k, 0), r, 0)
     # HIGHEST precision: the default 1-pass bf16 MXU product loses ~16
     # mantissa bits and flipped ~60x more WTA near-ties on hardware
     # (312 vs 5 of 110k Tsukuba pixels)
@@ -245,7 +266,7 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
             upd = best >= q  # ascending d, >= : largest d wins ties
             return jnp.where(upd, q, best), jnp.where(upd, d.astype(jnp.float32), dmap)
 
-        if size_d <= _UNROLL_MAX:
+        if size_d <= unroll_max(cfg):
             # static unroll: shifts are compile-time rolls
             for s in range(size_d):
                 best, dmap = slice_update(
@@ -522,12 +543,12 @@ def guided_wta_fused_dual(
 
     One kernel pass computes BOTH views (shared DMA, derivatives and
     raw cost slices) — the frame's whole matching stage in one Mosaic
-    program.  Only for size_d <= _UNROLL_MAX (the wide-range fori_loop
+    program.  Only for size_d <= unroll_max(cfg) (the wide-range fori_loop
     variant cannot roll the shared slice by a loop-carried d); callers
     fall back to two guided_wta_fused calls beyond."""
-    if cfg.size_d > _UNROLL_MAX:
+    if cfg.size_d > unroll_max(cfg):
         raise ValueError(
-            f"dual-view kernel requires size_d <= {_UNROLL_MAX}, got "
+            f"dual-view kernel requires size_d <= {unroll_max(cfg)}, got "
             f"{cfg.size_d}; use guided_wta_fused per view")
     H, W = gray_l.shape
     halo_y, px = dual_geometry(cfg)

@@ -49,10 +49,10 @@ def stereo_pipeline(
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
     if use_fused_path(cfg, full_outputs):
         from .ops.pallas_guided import (
-            _UNROLL_MAX, guided_wta_fused, guided_wta_fused_dual)
+            guided_wta_fused, guided_wta_fused_dual, unroll_max)
 
         dual = cfg.dual_view is True or (
-            cfg.dual_view == "auto" and cfg.size_d <= _UNROLL_MAX)
+            cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg))
         if dual:
             best_l, dmap_l, best_r, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
         else:
@@ -108,10 +108,10 @@ def _matching_stage(gl, gr, cfg: StereoConfig, full_outputs: bool = False):
     also the unfused intermediates (mean images, cost slice 0)."""
     if use_fused_path(cfg, full_outputs):
         from .ops.pallas_guided import (
-            _UNROLL_MAX, guided_wta_fused, guided_wta_fused_dual)
+            guided_wta_fused, guided_wta_fused_dual, unroll_max)
 
         dual = cfg.dual_view is True or (
-            cfg.dual_view == "auto" and cfg.size_d <= _UNROLL_MAX)
+            cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg))
         if dual:
             best_l, dmap_l, best_r, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
         else:

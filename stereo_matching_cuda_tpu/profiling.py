@@ -116,10 +116,10 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> 
 
     fused = use_fused_path(cfg)
     if fused:
-        from .ops.pallas_guided import _UNROLL_MAX
+        from .ops.pallas_guided import unroll_max
 
         if cfg.dual_view is True or (
-                cfg.dual_view == "auto" and cfg.size_d <= _UNROLL_MAX):
+                cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg)):
             fused = "dual"
     stages = ({"dual": STAGES_DUAL, True: STAGES_FUSED}.get(fused)
               or STAGES_UNFUSED)
