@@ -219,6 +219,28 @@ def test_dual_view_straddling_range():
         assert mism <= max(4, want.size * 3e-3), f"{name}: {mism}/{want.size}"
 
 
+def test_dual_view_x_tiled_matches_oracle(monkeypatch):
+    """Force (16, 256) tiles on a 64x600 frame (nx=3): the rolled
+    right-view slice must stay seamless across x-tile boundaries."""
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    monkeypatch.setattr(pg, "_pick_tiles", lambda *a, **k: (16, 256))
+    g1, g2 = _pair(64, 600)
+    wd_l = R.guided_filter_wta(
+        g1, R.cost_volume(g1, g2, CFG.d_min, CFG), CFG.d_min, CFG)[1]
+    wd_r = R.guided_filter_wta(
+        g2, R.cost_volume(g2, g1, CFG.d_min_right, CFG), CFG.d_min_right, CFG)[1]
+    _, dl, _, dr = pg.guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), CFG)
+    for got, want, name in [(dl, wd_l, "left"), (dr, wd_r, "right")]:
+        got = np.asarray(got)
+        mism = int((got != want).sum())
+        assert mism <= want.size * 3e-3, f"{name}: {mism}/{want.size}"
+        bad_cols = np.argwhere(got != want)[:, 1]
+        near_seam = ((bad_cols >= 252) & (bad_cols <= 260)) | (
+            (bad_cols >= 508) & (bad_cols <= 516))
+        assert near_seam.sum() <= max(2, 0.2 * len(bad_cols)), name
+
+
 def test_dual_view_wide_range_rejected():
     from stereo_matching_cuda_tpu.config import StereoConfig
     from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
