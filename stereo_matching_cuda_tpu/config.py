@@ -85,6 +85,12 @@ class StereoConfig:
     # module default, 32).  Unrolled runs ~9% faster per frame; Mosaic
     # compile time grows superlinearly in the unroll factor (BENCH.md).
     unroll_max: Optional[int] = None
+    # Fused-kernel y-direction window-sum implementation (None = the
+    # module default, the hardware-measured winner — BENCH.md):
+    # "mxu" (band matmul, Precision.HIGHEST), "mxu3"/"mxu2" (band
+    # matmul with a manual 3/2-limb bf16 split of the data operand),
+    # "roll" (log-doubling sublane rolls on the VPU).
+    y_sum: Optional[str] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -112,6 +118,10 @@ class StereoConfig:
                 f"staged must be True, False or 'auto', got {self.staged!r}")
         if self.unroll_max is not None and self.unroll_max < 1:
             raise ValueError(f"unroll_max must be >= 1, got {self.unroll_max}")
+        if self.y_sum not in (None, "mxu", "mxu3", "mxu2", "roll"):
+            raise ValueError(
+                f"y_sum must be None, 'mxu', 'mxu3', 'mxu2' or 'roll', "
+                f"got {self.y_sum!r}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

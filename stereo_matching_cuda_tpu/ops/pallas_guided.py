@@ -137,26 +137,59 @@ def _band_matrix(n: int, r: int) -> jax.Array:
     return (jnp.abs(i - j) <= r).astype(jnp.float32)
 
 
-# y-direction window-sum implementation: "mxu" = banded matmul on the
-# MXU; "roll" = log-doubling sublane rolls on the VPU (exact f32 adds,
-# no MXU passes).  Both are numerically fast-path class; the default is
-# the hardware-measured winner (BENCH.md).  Env override for benching.
+# y-direction window-sum implementation:
+#   "mxu"  — banded matmul, jax.lax.Precision.HIGHEST (6 bf16 passes)
+#   "mxu3" — banded matmul, manual 3-limb bf16 split of the data
+#            operand (the 0/1 band matrix is bf16-exact, so 3 limbs
+#            carry all 24 f32 mantissa bits: same accuracy class as
+#            HIGHEST at half the MXU passes)
+#   "mxu2" — 2-limb split (~16 mantissa bits; slightly looser ties)
+#   "roll" — log-doubling sublane rolls on the VPU (exact f32 adds,
+#            no MXU passes)
+# The default is the hardware-measured winner (BENCH.md).  Env override
+# for benching.
 _Y_SUM_IMPL = os.environ.get("STEREO_Y_SUM", "mxu")
 
 
-def _box_sum_hybrid(x: jax.Array, r: int, my: jax.Array) -> jax.Array:
+def _band_matmul_limbs(my: jax.Array, sx: jax.Array, n_limbs: int) -> jax.Array:
+    """``my @ sx`` with ``my`` a 0/1 band matrix (exact in bf16) and
+    ``sx`` split into ``n_limbs`` bf16 limbs.  Each limb product is a
+    1-pass bf16 matmul with f32 accumulation; every elementary product
+    my[i,k]*limb[k,j] is exact (0 or the limb itself), so the result
+    carries n_limbs*8 mantissa bits of sx — 3 limbs ≈ full f32."""
+    mb = my.astype(jnp.bfloat16)
+    acc = None
+    rem = sx
+    for _ in range(n_limbs):
+        limb = rem.astype(jnp.bfloat16)
+        rem = rem - limb.astype(jnp.float32)
+        part = jax.lax.dot_general(
+            mb, limb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _box_sum_hybrid(x: jax.Array, r: int, my: jax.Array,
+                    impl: str | None = None) -> jax.Array:
     """Centered window sum: x-direction via log-doubling lane rolls
     (cheap on the VPU); y-direction either as a banded matmul on the
-    otherwise-idle MXU or as log-doubling sublane rolls (_Y_SUM_IMPL).
+    otherwise-idle MXU or as log-doubling sublane rolls (impl, falling
+    back to the module default _Y_SUM_IMPL).
 
     The matmul's band matrix clamps at tile-ext edges while the roll
     form wraps garbage into the outermost r rows — both are outside
     the halo_y >= 2(r+1) consumption region, so consumers see
     identical coverage."""
+    impl = impl or _Y_SUM_IMPL
     k = 2 * r + 1
     sx = _roll(_forward_window_sum(x, k, 1), r, 1)
-    if _Y_SUM_IMPL == "roll":
+    if impl == "roll":
         return _roll(_forward_window_sum(sx, k, 0), r, 0)
+    if impl == "mxu3":
+        return _band_matmul_limbs(my, sx, 3)
+    if impl == "mxu2":
+        return _band_matmul_limbs(my, sx, 2)
     # HIGHEST precision: the default 1-pass bf16 MXU product loses ~16
     # mantissa bits and flipped ~60x more WTA near-ties on hardware
     # (312 vs 5 of 110k Tsukuba pixels)
@@ -229,7 +262,7 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         my = _band_matrix(she, r)
 
         def boxm(x):
-            return _box_sum_hybrid(x, r, my) * inv_area
+            return _box_sum_hybrid(x, r, my, cfg.y_sum) * inv_area
 
         # x-derivative, one-sided at the global image edges
         # (costVolume.cu:362-378).  I2 is pre-shifted by dmin, so its
@@ -465,7 +498,7 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         my = _band_matrix(she, r)
 
         def boxm(x):
-            return _box_sum_hybrid(x, r, my) * inv_area
+            return _box_sum_hybrid(x, r, my, cfg.y_sum) * inv_area
 
         def deriv(I, g):
             c1 = jnp.where(g < W - 1, _shift_x_vmem(I, 1), I)

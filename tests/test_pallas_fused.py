@@ -48,6 +48,24 @@ def test_fused_matches_oracle(shape):
     np.testing.assert_allclose(best, want_best, atol=2e-3, rtol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["roll", "mxu3", "mxu2"])
+def test_fused_y_sum_variants_match_oracle(impl, monkeypatch):
+    """Every y-window-sum implementation (BENCH.md) stays in the
+    fast-path accuracy class: near-tie flips only vs the oracle."""
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    monkeypatch.setattr(pg, "_Y_SUM_IMPL", impl)
+    g1, g2 = _pair(48, 130, seed=5)
+    cost = R.cost_volume(g1, g2, CFG.d_min, CFG)
+    want_best, want_dmap, _ = R.guided_filter_wta(g1, cost, CFG.d_min, CFG)
+    best, dmap = pg.guided_wta_fused.__wrapped__(
+        jnp.asarray(g1), jnp.asarray(g2), CFG.d_min, CFG)
+    best, dmap = np.asarray(best), np.asarray(dmap)
+    mism = int((dmap != want_dmap).sum())
+    assert mism <= max(4, dmap.size * 2e-3), f"{impl}: {mism} mismatches"
+    np.testing.assert_allclose(best, want_best, atol=2e-3, rtol=1e-4)
+
+
 def test_fused_right_view():
     from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
 
