@@ -29,8 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="stereo_matching_cuda_tpu",
         description="TPU-native cost-volume stereo with guided-filter aggregation",
     )
-    p.add_argument("left", help="left image (PNG)")
-    p.add_argument("right", help="right image (PNG)")
+    p.add_argument("left", help="left image (PNG); dataset root with --eval")
+    p.add_argument("right", nargs="?", default=None,
+                   help="right image (PNG); omitted with --eval")
     p.add_argument("-o", "--out", default=".", help="output directory")
     p.add_argument("--d-min", type=int, default=-15, help="min disparity (SystemIncludes.h:12)")
     p.add_argument("--d-max", type=int, default=0, help="max disparity (SystemIncludes.h:11)")
@@ -70,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default=None, metavar="B,Y,X[,D]",
                    help="run multi-chip: mesh sizes over (batch, tile-rows, "
                         "tile-cols, disparity-ranges), e.g. 1,2,4 or 1,2,2,2")
+    p.add_argument("--eval", action="store_true",
+                   help="LEFT is a dataset root (Middlebury layout: scene "
+                        "dirs with im0.png/im1.png, disp0.pfm GT, calib.txt "
+                        "ndisp); prints per-scene and aggregate bad-2.0/EPE")
     p.add_argument("--sequence", action="store_true",
                    help="left/right are DIRECTORIES of same-shaped frames; "
                         "pairs are matched by sorted filename order and "
@@ -145,6 +150,24 @@ def main(argv=None) -> int:
     if args.mesh and args.aggregation != "guided":
         print(f"error: --mesh only supports --aggregation guided, got "
               f"{args.aggregation!r}", file=sys.stderr)
+        return 2
+    if args.eval:
+        from .evaluate import evaluate_dataset
+
+        if args.right is not None:
+            print("error: --eval takes a single dataset root, not a pair",
+                  file=sys.stderr)
+            return 2
+        try:
+            result = evaluate_dataset(args.left, cfg, args.gt_scale)
+        except (OSError, ValueError, NotImplementedError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(result))
+        return 0
+    if args.right is None:
+        print("error: right image is required (or use --eval)",
+              file=sys.stderr)
         return 2
     if args.sequence:
         return _run_sequence(args, cfg)

@@ -90,3 +90,43 @@ def test_cli_staged_flag_matches_default(tmp_path):
         np.testing.assert_array_equal(
             read_png(str(out1 / f"{name}.png")),
             read_png(str(out2 / f"{name}.png")), err_msg=name)
+
+
+def test_cli_eval_dataset(tmp_path):
+    """--eval over a tiny Middlebury-layout dataset: GT produced by the
+    oracle itself, so bad-2.0 must be ~0 and calib ndisp must be used."""
+    from stereo_matching_cuda_tpu import reference as R
+    from stereo_matching_cuda_tpu.config import StereoConfig
+    from stereo_matching_cuda_tpu.utils.pnm import write_pfm
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (48, 80 + 16, 3), dtype=np.uint8)
+    left, right = base[:, 8 : 8 + 80], base[:, 4 : 4 + 80]
+    cfg = StereoConfig(d_min=-7, d_max=0)
+    out = R.run_pipeline(left, right, cfg)
+    gt = np.abs(out["occlusion_filled"].astype(np.float32))
+
+    for scene in ("SceneA", "SceneB"):
+        d = tmp_path / "ds" / scene
+        d.mkdir(parents=True)
+        write_png(str(d / "im0.png"), left)
+        write_png(str(d / "im1.png"), right)
+        write_pfm(str(d / "disp0.pfm"), gt)
+        (d / "calib.txt").write_text("cam0=[1 0 0]\nndisp=8\n")
+
+    r = _run([str(tmp_path / "ds"), "--eval"])
+    assert r.returncode == 0, r.stderr
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert result["aggregate"]["scenes"] == 2
+    assert result["aggregate"]["scored"] == 2
+    for s in result["scenes"].values():
+        assert s["ndisp"] == 8          # from calib.txt, not the default 16
+        assert s["bad_2_0_pct"] <= 0.5  # fast path: near-ties only
+        assert s["epe"] <= 0.1
+
+
+def test_cli_eval_missing_right_pair_required(tmp_path):
+    lp, _ = _write_pair(tmp_path)
+    r = _run([lp])
+    assert r.returncode == 2
+    assert "right image is required" in r.stderr
