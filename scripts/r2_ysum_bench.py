@@ -50,17 +50,22 @@ def t(f, l, r):
 
 
 def per_ms(fn, l, r, n=17, label=""):
-    f1 = chained(fn, 1)
-    fn_ = chained(fn, n)
-    t0 = time.time()
-    float(f1(l, r)); float(fn_(l, r))
-    compile_s = time.time() - t0
-    t1 = min(t(f1, l, r), t(f1, l, r))
-    tn = min(t(fn_, l, r), t(fn_, l, r))
-    ms = (tn - t1) / (n - 1) * 1e3
-    print(f"  {label:38s} {ms:8.3f} ms/frame   (compile+first {compile_s:.1f}s)",
-          flush=True)
-    return ms
+    try:
+        f1 = chained(fn, 1)
+        fn_ = chained(fn, n)
+        t0 = time.time()
+        float(f1(l, r)); float(fn_(l, r))
+        compile_s = time.time() - t0
+        t1 = min(t(f1, l, r), t(f1, l, r))
+        tn = min(t(fn_, l, r), t(fn_, l, r))
+        ms = (tn - t1) / (n - 1) * 1e3
+        print(f"  {label:38s} {ms:8.3f} ms/frame   (compile+first {compile_s:.1f}s)",
+              flush=True)
+        return ms
+    except Exception as e:
+        print(f"  {label:38s} FAILED: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        return None
 
 
 def singles(c):

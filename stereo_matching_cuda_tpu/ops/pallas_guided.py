@@ -404,7 +404,7 @@ def guided_wta_fused(
     halo_y, px = fused_geometry(cfg)
     if not (-px <= dmin <= px):
         raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
-    sh, tw = _pick_tiles(H, W, px, halo_y)
+    sh, tw = _pick_tiles(H, W, px, halo_y, n_live=_n_live(cfg))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw
@@ -565,6 +565,16 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
 # guided chains per slice; calibrated on hardware — see BENCH.md)
 _DUAL_N_LIVE = 70
 
+# Per-y-sum-impl live-buffer estimates for the single-view kernel.
+# "roll" keeps the log-doubling y-partials live through the unrolled
+# d-loop: measured 19.7 MB at (she=176, wte=512) → ~55 ext tiles
+# (vs 45 for the matmul forms, whose band product is consumed eagerly).
+_N_LIVE = {"mxu": 45, "mxu3": 50, "mxu2": 48, "roll": 56}
+
+
+def _n_live(cfg: StereoConfig) -> int:
+    return _N_LIVE.get(cfg.y_sum or _Y_SUM_IMPL, 56)
+
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def guided_wta_fused_dual(
@@ -585,7 +595,8 @@ def guided_wta_fused_dual(
             f"{cfg.size_d}; use guided_wta_fused per view")
     H, W = gray_l.shape
     halo_y, px = dual_geometry(cfg)
-    sh, tw = _pick_tiles(H, W, px, halo_y, n_live=_DUAL_N_LIVE)
+    sh, tw = _pick_tiles(H, W, px, halo_y,
+                         n_live=max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw
@@ -656,7 +667,7 @@ def guided_wta_fused_local(
         raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
     assert gray1_ext.shape[0] == tile_h + 2 * halo_y, gray1_ext.shape
     assert gray1_ext.shape[1] == tile_w + 2 * px, gray1_ext.shape
-    sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y)
+    sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y, n_live=_n_live(cfg))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (tile_h + sh - 1) // sh
     nx = (tile_w + tw - 1) // tw
