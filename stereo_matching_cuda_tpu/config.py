@@ -91,6 +91,12 @@ class StereoConfig:
     # matmul with a manual 3/2-limb bf16 split of the data operand),
     # "roll" (log-doubling sublane rolls on the VPU).
     y_sum: Optional[str] = None
+    # Fused-kernel VMEM budget in MiB (None = the module default).
+    # Mosaic's default scoped-VMEM limit is 16 MiB; v5e has 128 MiB per
+    # core, so raising this lets the tile picker choose taller strips
+    # (fewer programs, less per-program fixed cost and halo recompute)
+    # at the cost of a larger working set.
+    vmem_mb: Optional[int] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -122,6 +128,9 @@ class StereoConfig:
             raise ValueError(
                 f"y_sum must be None, 'mxu', 'mxu3', 'mxu2' or 'roll', "
                 f"got {self.y_sum!r}")
+        if self.vmem_mb is not None and not (4 <= self.vmem_mb <= 128):
+            raise ValueError(
+                f"vmem_mb must be in [4, 128] MiB, got {self.vmem_mb}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

@@ -64,7 +64,7 @@ def _pick_tiles(h: int, w: int, px: int, halo_y: int,
         if tw > w:
             continue
         wte = ((tw + 2 * px + 127) // 128) * 128
-        for sh in (256, 128, 64, 32, 16, 8):
+        for sh in (512, 256, 128, 64, 32, 16, 8):
             if sh > max(8, h):
                 continue
             she = sh + 2 * halo_y
@@ -207,7 +207,7 @@ def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
 
 def _make_kernel(cfg: StereoConfig, H: int, W: int,
                  sh: int, tw: int, nx: int, halo_y: int, px: int, w_ext: int,
-                 n_slices: int | None = None, lead: int = 0):
+                 n_slices: int | None = None, lead: int = 0, nxy: int = 0):
     """H, W are the GLOBAL image dims.  The scalar-prefetch ref holds
     (origin_y, origin_x, dmin): the global coords of the local padded
     array's interior origin (0,0 single-chip; the tile corner under
@@ -216,7 +216,12 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
     kernel's per-slice shifts are the static s = 0..D-1 and the SAME
     Mosaic program serves the left and right views (halves compile
     work; composed-module compile time was superlinear in distinct
-    kernels)."""
+    kernels).
+
+    ``nxy`` > 0 = batched mode: the HBM images carry a leading frame
+    axis, the grid is (nb*ny*nx,) and ``nxy = ny*nx`` decomposes the
+    program id into (frame, tile) — sequence throughput without
+    vmapping the pallas_call (unsupported for ANY-space refs)."""
     r = cfg.radius
     size_d = cfg.size_d if n_slices is None else n_slices
     alpha = np.float32(cfg.alpha)
@@ -229,6 +234,9 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
 
     def kernel(origin_ref, i1_hbm, i2_hbm, best_ref, dmap_ref, v1, v2, sems):
         tile = pl.program_id(0)
+        if nxy:
+            fb = tile // nxy
+            tile = tile % nxy
         ty = tile // nx
         tx = tile % nx
         y0 = ty * sh - halo_y + origin_ref[0]   # global row of ext row 0
@@ -237,11 +245,13 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         # DMA this tile's ext region from the zero-padded HBM images
         # (padded origin is (halo_y, lead + px): `lead` gives headroom so
         # the dmin pre-shift placement never needs a negative start)
+        src1 = i1_hbm.at[fb] if nxy else i1_hbm
+        src2 = i2_hbm.at[fb] if nxy else i2_hbm
         d1 = pltpu.make_async_copy(
-            i1_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw + lead, w_ext)],
+            src1.at[pl.ds(ty * sh, she), pl.ds(tx * tw + lead, w_ext)],
             v1, sems.at[0])
         d2 = pltpu.make_async_copy(
-            i2_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw + lead, w_ext)],
+            src2.at[pl.ds(ty * sh, she), pl.ds(tx * tw + lead, w_ext)],
             v2, sems.at[1])
         d1.start()
         d2.start()
@@ -347,20 +357,25 @@ def _fused_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
     p1: interior at (halo_y, px); p2: interior PRE-SHIFTED to
     (halo_y, px - dmin).  origin: int32[3] = (global y, global x of
     p1's interior origin, dmin).  Returns (best, dmap) of
-    (out_h, out_w).
+    (out_h, out_w).  A leading frame axis on p1/p2 (batched mode)
+    yields (nb, out_h, out_w) outputs from one grid.
     """
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (out_h + sh - 1) // sh
     nx = (out_w + tw - 1) // tw
     she = sh + 2 * halo_y
+    nb = p1.shape[0] if p1.ndim == 3 else 0
+    n_prog = max(nb, 1) * ny * nx
 
     kernel = _make_kernel(cfg, Hg, Wg, sh, tw, nx, halo_y, px, w_ext,
-                          n_slices, lead)
+                          n_slices, lead, nxy=ny * nx if nb else 0)
+    _, vmem_limit = _vmem_params(cfg)
     best, dmap = pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(ny * nx,),
+            grid=(n_prog,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -376,12 +391,15 @@ def _fused_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32),
-            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32),
+            jax.ShapeDtypeStruct((n_prog, sh, tw), jnp.float32),
+            jax.ShapeDtypeStruct((n_prog, sh, tw), jnp.float32),
         ],
     )(origin, p1, p2)
 
     def untile(t):
+        if nb:
+            t = t.reshape(nb, ny, nx, sh, tw).transpose(0, 1, 3, 2, 4)
+            return t.reshape(nb, ny * sh, nx * tw)[:, :out_h, :out_w]
         t = t.reshape(ny, nx, sh, tw).transpose(0, 2, 1, 3)
         return t.reshape(ny * sh, nx * tw)[:out_h, :out_w]
 
@@ -398,13 +416,17 @@ def guided_wta_fused(
     """uint8 (H,W) ×2 → (best_cost f32 (H,W), disparity f32 (H,W)).
 
     One fused kernel for one view: cost vs `gray2`, aggregation guided
-    by `gray1`, streaming WTA with labels dmin+s.
+    by `gray1`, streaming WTA with labels dmin+s.  A leading frame axis
+    ((B,H,W) inputs) runs the whole batch in one grid.
     """
-    H, W = gray1.shape
+    H, W = gray1.shape[-2:]
+    batched = gray1.ndim == 3
     halo_y, px = fused_geometry(cfg)
     if not (-px <= dmin <= px):
         raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
-    sh, tw = _pick_tiles(H, W, px, halo_y, n_live=_n_live(cfg))
+    sh, tw = _pick_tiles(H, W, px, halo_y,
+                         vmem_budget=_vmem_params(cfg)[0],
+                         n_live=_n_live(cfg))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw
@@ -414,7 +436,11 @@ def guided_wta_fused(
         """Zero-pad once; tiles are DMA'd by the kernel (no duplicated
         halo strips in HBM, no per-tile slice graph)."""
         I = g.astype(jnp.float32)
-        P = jnp.zeros((ny * sh + 2 * halo_y, width), jnp.float32)
+        shape = (ny * sh + 2 * halo_y, width)
+        if batched:
+            P = jnp.zeros((g.shape[0],) + shape, jnp.float32)
+            return jax.lax.dynamic_update_slice(P, I, (0, halo_y, xoff))
+        P = jnp.zeros(shape, jnp.float32)
         return jax.lax.dynamic_update_slice(P, I, (halo_y, xoff))
 
     origin = jnp.array([0, 0, dmin], jnp.int32)
@@ -438,7 +464,7 @@ def dual_geometry(cfg: StereoConfig) -> tuple[int, int]:
 
 def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
                       sh: int, tw: int, nx: int, halo_y: int, px: int,
-                      w_ext: int):
+                      w_ext: int, nxy: int = 0):
     """Both views in one pass over each (y-strip, x-tile): the two
     grayscale tiles are DMA'd once, derivatives and the raw truncated
     AD+gradient cost slice are computed once, and the right view's raw
@@ -470,15 +496,20 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
                best_l_ref, dmap_l_ref, best_r_ref, dmap_r_ref,
                v1, v2, sems):
         tile = pl.program_id(0)
+        if nxy:
+            fb = tile // nxy
+            tile = tile % nxy
         ty = tile // nx
         tx = tile % nx
         y0 = ty * sh - halo_y + origin_ref[0]
         x0 = tx * tw - px + origin_ref[1]
+        src1 = i1_hbm.at[fb] if nxy else i1_hbm
+        src2 = i2_hbm.at[fb] if nxy else i2_hbm
         d1 = pltpu.make_async_copy(
-            i1_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)],
+            src1.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)],
             v1, sems.at[0])
         d2 = pltpu.make_async_copy(
-            i2_hbm.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)],
+            src2.at[pl.ds(ty * sh, she), pl.ds(tx * tw, w_ext)],
             v2, sems.at[1])
         d1.start()
         d2.start()
@@ -567,13 +598,32 @@ _DUAL_N_LIVE = 70
 
 # Per-y-sum-impl live-buffer estimates for the single-view kernel.
 # "roll" keeps the log-doubling y-partials live through the unrolled
-# d-loop: measured 19.7 MB at (she=176, wte=512) → ~55 ext tiles
-# (vs 45 for the matmul forms, whose band product is consumed eagerly).
-_N_LIVE = {"mxu": 45, "mxu3": 50, "mxu2": 48, "roll": 56}
+# d-loop: measured 19.7 MB at (she=176, wte=512) → ~55 ext tiles.
+# The matmul forms (incl. the limb splits, whose band products are
+# consumed eagerly) measured fine at 45 — (she=176, wte=512) compiled
+# and ran for mxu and mxu3 alike.
+_N_LIVE = {"mxu": 45, "mxu3": 45, "mxu2": 45, "roll": 56}
 
 
 def _n_live(cfg: StereoConfig) -> int:
     return _N_LIVE.get(cfg.y_sum or _Y_SUM_IMPL, 56)
+
+
+# Default fused-kernel VMEM budget in MiB (None = Mosaic's 16 MiB
+# scoped default).  cfg.vmem_mb overrides per run.
+_VMEM_MB = None
+
+
+def _vmem_params(cfg: StereoConfig) -> tuple[int, int | None]:
+    """(tile-picker budget bytes, vmem_limit_bytes for Mosaic or None).
+
+    With no override the budget is 15.7 MiB against Mosaic's default
+    16 MiB scoped limit; an override passes the raised limit to the
+    compiler and budgets 98% of it."""
+    mb = cfg.vmem_mb if cfg.vmem_mb is not None else _VMEM_MB
+    if mb is None:
+        return int(15.7 * 2**20), None
+    return int(mb * 0.98 * 2**20), int(mb * 2**20)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -586,35 +636,48 @@ def guided_wta_fused_dual(
 
     One kernel pass computes BOTH views (shared DMA, derivatives and
     raw cost slices) — the frame's whole matching stage in one Mosaic
-    program.  Only for size_d <= unroll_max(cfg) (the wide-range fori_loop
-    variant cannot roll the shared slice by a loop-carried d); callers
-    fall back to two guided_wta_fused calls beyond."""
+    program.  A leading frame axis ((B,H,W) inputs) runs the whole
+    batch in one grid.  Only for size_d <= unroll_max(cfg) (the
+    wide-range fori_loop variant cannot roll the shared slice by a
+    loop-carried d); callers fall back to two guided_wta_fused calls
+    beyond."""
     if cfg.size_d > unroll_max(cfg):
         raise ValueError(
             f"dual-view kernel requires size_d <= {unroll_max(cfg)}, got "
             f"{cfg.size_d}; use guided_wta_fused per view")
-    H, W = gray_l.shape
+    H, W = gray_l.shape[-2:]
+    batched = gray_l.ndim == 3
+    nb = gray_l.shape[0] if batched else 0
     halo_y, px = dual_geometry(cfg)
     sh, tw = _pick_tiles(H, W, px, halo_y,
+                         vmem_budget=_vmem_params(cfg)[0],
                          n_live=max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw
     width = max((nx - 1) * tw + w_ext, W + 2 * px)
+    n_prog = max(nb, 1) * ny * nx
 
     def prep(g):
         I = g.astype(jnp.float32)
-        P = jnp.zeros((ny * sh + 2 * halo_y, width), jnp.float32)
+        shape = (ny * sh + 2 * halo_y, width)
+        if batched:
+            P = jnp.zeros((nb,) + shape, jnp.float32)
+            return jax.lax.dynamic_update_slice(P, I, (0, halo_y, px))
+        P = jnp.zeros(shape, jnp.float32)
         return jax.lax.dynamic_update_slice(P, I, (halo_y, px))
 
-    kernel = _make_dual_kernel(cfg, H, W, sh, tw, nx, halo_y, px, w_ext)
+    kernel = _make_dual_kernel(cfg, H, W, sh, tw, nx, halo_y, px, w_ext,
+                               nxy=ny * nx if batched else 0)
     she = sh + 2 * halo_y
     origin = jnp.array([0, 0], jnp.int32)
+    _, vmem_limit = _vmem_params(cfg)
     outs = pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(ny * nx,),
+            grid=(n_prog,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -630,12 +693,15 @@ def guided_wta_fused_dual(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((ny * nx, sh, tw), jnp.float32)
+            jax.ShapeDtypeStruct((n_prog, sh, tw), jnp.float32)
             for _ in range(4)
         ],
     )(origin, prep(gray_l), prep(gray_r))
 
     def untile(t):
+        if batched:
+            t = t.reshape(nb, ny, nx, sh, tw).transpose(0, 1, 3, 2, 4)
+            return t.reshape(nb, ny * sh, nx * tw)[:, :H, :W]
         t = t.reshape(ny, nx, sh, tw).transpose(0, 2, 1, 3)
         return t.reshape(ny * sh, nx * tw)[:H, :W]
 
@@ -667,7 +733,9 @@ def guided_wta_fused_local(
         raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
     assert gray1_ext.shape[0] == tile_h + 2 * halo_y, gray1_ext.shape
     assert gray1_ext.shape[1] == tile_w + 2 * px, gray1_ext.shape
-    sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y, n_live=_n_live(cfg))
+    sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y,
+                         vmem_budget=_vmem_params(cfg)[0],
+                         n_live=_n_live(cfg))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (tile_h + sh - 1) // sh
     nx = (tile_w + tw - 1) // tw

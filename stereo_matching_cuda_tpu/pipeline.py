@@ -189,8 +189,36 @@ def stereo_pipeline_batch(
     rgb_right: jax.Array,
     cfg: StereoConfig = DEFAULT_CONFIG,
 ) -> dict:
-    """Sequence throughput on one chip: (B,H,W,C) pairs, vmapped.
+    """Sequence throughput on one chip: (B,H,W,C) pairs in one graph.
 
-    For multi-chip sequence throughput shard the batch over the 'b'
-    mesh axis instead (parallel.sharded_stereo_pipeline)."""
-    return jax.vmap(lambda l, r: stereo_pipeline(l, r, cfg))(rgb_left, rgb_right)
+    The elementwise stages (grayscale, LR check, fill) vmap over the
+    frame axis; the fused Pallas matching stage cannot (vmapping a
+    pallas_call with ANY-space refs is unsupported on Mosaic), so the
+    batch rides the kernel's OWN grid instead — program id decomposes
+    into (frame, tile).  For multi-chip sequence throughput shard the
+    batch over the 'b' mesh axis (parallel.sharded_stereo_pipeline)."""
+    if not use_fused_path(cfg):
+        return jax.vmap(lambda l, r: stereo_pipeline(l, r, cfg))(
+            rgb_left, rgb_right)
+    from .ops.pallas_guided import (
+        guided_wta_fused, guided_wta_fused_dual, unroll_max)
+
+    gl = jax.vmap(lambda x: ops.rgb_to_grayscale(x, cfg))(rgb_left)
+    gr = jax.vmap(lambda x: ops.rgb_to_grayscale(x, cfg))(rgb_right)
+    dual = cfg.dual_view is True or (
+        cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg))
+    if dual:
+        _, dmap_l, _, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
+    else:
+        _, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
+        _, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
+    occ = jax.vmap(
+        lambda a, b: ops.detect_occlusion(a, b, cfg.d_occlusion, cfg))(
+        dmap_l, dmap_r)
+    filled = jax.vmap(lambda o: ops.fill_occlusion(o, cfg.v_min, cfg))(occ)
+    return {
+        "disparity_left": dmap_l,
+        "disparity_right": dmap_r,
+        "occlusion": occ,
+        "occlusion_filled": filled,
+    }

@@ -286,3 +286,34 @@ def test_fused_wide_range_fori_loop():
     dmap = np.asarray(dmap)
     mism = int((dmap != want_dmap).sum())
     assert mism <= max(4, dmap.size * 2e-3), f"{mism}/{dmap.size}"
+
+
+def test_fused_batched_equals_per_frame():
+    """(B,H,W) batched single-view kernel == per-frame calls (the batch
+    rides the pallas grid; sequence mode depends on this)."""
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+    pairs = [_pair(40, 96, seed=s) for s in (1, 2, 3)]
+    g1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    g2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+    bb, bd = guided_wta_fused(g1, g2, CFG.d_min, CFG)
+    assert bb.shape == (3, 40, 96)
+    for i, (a, b) in enumerate(pairs):
+        fb, fd = guided_wta_fused(jnp.asarray(a), jnp.asarray(b), CFG.d_min, CFG)
+        np.testing.assert_array_equal(np.asarray(bd[i]), np.asarray(fd), err_msg=f"frame {i}")
+        np.testing.assert_array_equal(np.asarray(bb[i]), np.asarray(fb))
+
+
+def test_dual_batched_equals_per_frame():
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
+
+    pairs = [_pair(40, 96, seed=s) for s in (4, 5)]
+    g1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    g2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+    outs = guided_wta_fused_dual(g1, g2, CFG)
+    for i, (a, b) in enumerate(pairs):
+        ref = guided_wta_fused_dual(jnp.asarray(a), jnp.asarray(b), CFG)
+        for j in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(outs[j][i]), np.asarray(ref[j]),
+                err_msg=f"frame {i} out {j}")
