@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--staged", choices=["auto", "on", "off"], default="auto",
                    help="run stages as separate executables (auto = "
                         "bike-scale frames on TPU; see BENCH.md)")
+    p.add_argument("--y-sum", choices=["mxu", "mxu3", "mxu2", "roll"],
+                   default=None,
+                   help="fused-kernel y-window-sum implementation "
+                        "(default: hardware-measured winner, BENCH.md)")
+    p.add_argument("--vmem-mb", type=int, default=None,
+                   help="fused-kernel VMEM budget in MiB (default: module "
+                        "default; Mosaic's base limit is 16)")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",
@@ -141,6 +148,7 @@ def main(argv=None) -> int:
         fused=tristate[args.fused],
         dual_view=tristate[args.dual_view],
         staged=tristate[args.staged],
+        y_sum=args.y_sum, vmem_mb=args.vmem_mb,
     )
     if args.mesh and args.exact:
         print("error: --mesh does not support --exact (the sharded pipeline "
