@@ -727,12 +727,14 @@ def guided_wta_fused_local(
     as traced scalars.  ``dmin`` may be traced (disparity-sharded
     meshes: each device's base label differs); ``n_slices`` overrides
     cfg.size_d for per-range shards.  Returns (best, dmap) for the
-    (tile_h, tile_w) interior."""
+    (tile_h, tile_w) interior.  A leading local-batch axis on the ext
+    tiles runs every frame in one grid ((B, tile_h, tile_w) out)."""
     halo_y, px = fused_geometry(cfg)
     if isinstance(dmin, int) and not (-px <= dmin <= px):
         raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
-    assert gray1_ext.shape[0] == tile_h + 2 * halo_y, gray1_ext.shape
-    assert gray1_ext.shape[1] == tile_w + 2 * px, gray1_ext.shape
+    batched = gray1_ext.ndim == 3
+    assert gray1_ext.shape[-2] == tile_h + 2 * halo_y, gray1_ext.shape
+    assert gray1_ext.shape[-1] == tile_w + 2 * px, gray1_ext.shape
     sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y,
                          vmem_budget=_vmem_params(cfg)[0],
                          n_live=_n_live(cfg))
@@ -745,7 +747,13 @@ def guided_wta_fused_local(
     width = lead + max((nx - 1) * tw + w_ext, tile_w + 2 * px) + px
 
     def prep(g, xoff):
-        P = jnp.zeros((ny * sh + 2 * halo_y, width), jnp.float32)
+        shape = (ny * sh + 2 * halo_y, width)
+        if batched:
+            P = jnp.zeros((g.shape[0],) + shape, jnp.float32)
+            return jax.lax.dynamic_update_slice(
+                P, g.astype(jnp.float32),
+                (jnp.int32(0), jnp.int32(0), jnp.int32(xoff)))
+        P = jnp.zeros(shape, jnp.float32)
         return jax.lax.dynamic_update_slice(
             P, g.astype(jnp.float32), (jnp.int32(0), jnp.int32(xoff)))
 

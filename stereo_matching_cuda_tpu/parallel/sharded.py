@@ -242,16 +242,15 @@ def sharded_stereo_pipeline(
                 from ..ops.pallas_guided import guided_wta_fused_local
 
                 dmin_loc = dmin + d_idx * d_per if nd > 1 else dmin
-                outs = []
-                for i in range(g1e.shape[0]):
-                    b, dm = guided_wta_fused_local(
-                        g1e[i], g2e[i], y0, x0, dmin_loc, cfg, H, W, hl, wl,
-                        n_slices=d_per if nd > 1 else None)
-                    # mean for output parity: one box mean of the guide
-                    I = g1e[i].astype(jnp.float32)
-                    mean_i = box_sum(I, cfg.radius) / area
-                    outs.append((b, dm, fl_to_ch(crop(mean_i))))
-                best, dmap, mean = (jnp.stack([o[j] for o in outs]) for j in range(3))
+                # the whole local batch rides the kernel's grid (one
+                # pallas_call; frame index = program id // tiles)
+                best, dmap = guided_wta_fused_local(
+                    g1e, g2e, y0, x0, dmin_loc, cfg, H, W, hl, wl,
+                    n_slices=d_per if nd > 1 else None)
+                # mean for output parity: one box mean of the guide
+                I = g1e.astype(jnp.float32)
+                mean_i = jax.vmap(lambda x: box_sum(x, cfg.radius))(I) / area
+                mean = fl_to_ch(crop(mean_i))
                 if nd > 1:
                     bests = jax.lax.all_gather(best, "d")
                     dmaps = jax.lax.all_gather(dmap, "d")
