@@ -55,20 +55,25 @@ def roofline(H, W, cfg, label, measured_ms=None, mxu_passes=6):
     ext = she * w_ext                      # elements touched per program
 
     k = 2 * cfg.radius + 1
+    # band-restricted y matmuls (_make_boxms): mid-band and interior
+    # output rows instead of the full ext tile
+    top = max(0, (halo_y - (cfg.radius + 1)) // 8 * 8)
+    mid = she - 2 * top
     # x-dir forward window sum: log-doubling (roll+add each) + offset
     # terms for the set bits of k, + centering roll + inv_area mult
     import math
     xsum_ops = 2 * int(math.log2(k)) + 2 * (bits(k) - 1) + 1 + 1
     boxm_vpu = xsum_ops + 1                # + final inv_area multiply
-    boxm_mxu_flops = mxu_passes * 2 * she * she * w_ext
+    mxu_mid = mxu_passes * 2 * mid * she * w_ext
+    mxu_out = mxu_passes * 2 * sh * mid * w_ext
 
     # per-slice VPU ops/ext-elt (dual view)
     raw_cost = 2 + 7                       # 2 shifts + |.|,min,blend
     per_view = (
         4 * boxm_vpu                       # mean_p, mean_ip, mean_a, mean_b
         + 1                                # I*cost
-        + 5                                # a, b (mul/sub) + masks
-        + 2 + 3                            # q = crop-mult-add; wheres
+        + (5 + 3) * mid // she             # a, b + masks (mid-band rows)
+        + 2                                # q = mult-add (interior)
         + 3                                # WTA compare + 2 selects
         + 2                                # valid mask + oob blend
     )
@@ -77,7 +82,8 @@ def roofline(H, W, cfg, label, measured_ms=None, mxu_passes=6):
     setup_vpu = 6 * boxm_vpu + 6 + 8
 
     vpu_ops = n_prog * ext * (cfg.size_d * slice_vpu + setup_vpu)
-    mxu_flops = n_prog * (cfg.size_d * 8 + 6) * boxm_mxu_flops
+    mxu_flops = n_prog * (
+        cfg.size_d * 2 * (2 * mxu_mid + 2 * mxu_out) + 6 * mxu_mid)
     # HBM: 2 ext-tile DMA reads/program + 4 (sh,tw) f32 outputs
     hbm_bytes = n_prog * (2 * ext + 4 * sh * tw) * 4
 

@@ -129,12 +129,17 @@ def _forward_window_sum(x: jax.Array, k: int, axis: int) -> jax.Array:
     return result
 
 
-def _band_matrix(n: int, r: int) -> jax.Array:
-    """(n, n) float32 with M[i, j] = (|i-j| <= r) — multiplying by it
-    sums a (2r+1) window (clamped at array edges)."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (jnp.abs(i - j) <= r).astype(jnp.float32)
+def _band_matrix_off(rows: int, cols: int, off: int, r: int) -> jax.Array:
+    """(rows, cols) float32 with M[i, j] = (|i + off - j| <= r): a
+    band matmul restricted to the ``rows`` output rows starting at
+    input row ``off``.  Each retained output row computes the identical
+    contraction as the square ``_band_matrix`` form, so restricting is
+    bit-exact — it only skips rows nobody consumes (the roofline model
+    showed the square form wastes 15-60% of the kernel's MXU time on
+    halo rows, scripts/roofline.py)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return (jnp.abs(i + off - j) <= r).astype(jnp.float32)
 
 
 # y-direction window-sum implementation:
@@ -170,33 +175,62 @@ def _band_matmul_limbs(my: jax.Array, sx: jax.Array, n_limbs: int) -> jax.Array:
     return acc
 
 
-def _box_sum_hybrid(x: jax.Array, r: int, my: jax.Array,
-                    impl: str | None = None) -> jax.Array:
-    """Centered window sum: x-direction via log-doubling lane rolls
-    (cheap on the VPU); y-direction either as a banded matmul on the
-    otherwise-idle MXU or as log-doubling sublane rolls (impl, falling
-    back to the module default _Y_SUM_IMPL).
+def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
+                inv_area: jax.Array):
+    """(boxm_mid, boxm_out, top, mid): band-restricted box-mean pair.
 
-    The matmul's band matrix clamps at tile-ext edges while the roll
-    form wraps garbage into the outermost r rows — both are outside
-    the halo_y >= 2(r+1) consumption region, so consumers see
-    identical coverage."""
-    impl = impl or _Y_SUM_IMPL
+    ``boxm_mid``: full (she, W) ext tile -> (mid, W) — only the rows
+    [top, top+mid) where a/b (and the guide statistics they consume)
+    are needed: interior ± (r+1), 8-aligned.  ``boxm_out``: (mid, W)
+    a/b band -> (sh, W) interior rows (the final mean(a)/mean(b)
+    pass).  For the matmul y-sum impls the restriction is bit-exact row
+    skipping (see _band_matrix_off); the roll impl keeps full columns
+    (top = 0) and boxm_out slices the interior afterwards.
+
+    The window sum itself is hybrid: x-direction via log-doubling lane
+    rolls (cheap on the VPU); y-direction either as a banded matmul on
+    the otherwise-idle MXU or as log-doubling sublane rolls.  The
+    matmul's band matrix clamps at tile-ext edges while the roll form
+    wraps garbage into the outermost r rows — both are outside the
+    halo_y >= 2(r+1) consumption region, so consumers see identical
+    coverage.  The default "mxu" matmul runs at Precision.HIGHEST: the
+    1-pass bf16 MXU product loses ~16 mantissa bits and flipped ~60x
+    more WTA near-ties on hardware (312 vs 5 of 110k Tsukuba px)."""
     k = 2 * r + 1
-    sx = _roll(_forward_window_sum(x, k, 1), r, 1)
-    if impl == "roll":
-        return _roll(_forward_window_sum(sx, k, 0), r, 0)
-    if impl == "mxu3":
-        return _band_matmul_limbs(my, sx, 3)
-    if impl == "mxu2":
-        return _band_matmul_limbs(my, sx, 2)
-    # HIGHEST precision: the default 1-pass bf16 MXU product loses ~16
-    # mantissa bits and flipped ~60x more WTA near-ties on hardware
-    # (312 vs 5 of 110k Tsukuba pixels)
-    return jax.lax.dot_general(
-        my, sx, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    impl = impl or _Y_SUM_IMPL
+    top = 0 if impl == "roll" else max(0, (halo_y - (r + 1)) // 8 * 8)
+    mid = she - 2 * top
+
+    def ymm(m, sx):
+        if impl == "mxu3":
+            return _band_matmul_limbs(m, sx, 3)
+        if impl == "mxu2":
+            return _band_matmul_limbs(m, sx, 2)
+        return jax.lax.dot_general(
+            m, sx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    m_mid = None if impl == "roll" else _band_matrix_off(mid, she, top, r)
+    m_out = None if impl == "roll" else _band_matrix_off(sh, mid,
+                                                         halo_y - top, r)
+    ia_mid = inv_area[top : top + mid]
+    ia_out = inv_area[halo_y : halo_y + sh]
+
+    def boxm_mid(x):
+        sx = _roll(_forward_window_sum(x, k, 1), r, 1)
+        if impl == "roll":
+            return _roll(_forward_window_sum(sx, k, 0), r, 0) * ia_mid
+        return ymm(m_mid, sx) * ia_mid
+
+    def boxm_out(x):
+        sx = _roll(_forward_window_sum(x, k, 1), r, 1)
+        if impl == "roll":
+            s = _roll(_forward_window_sum(sx, k, 0), r, 0)
+            return s[halo_y : halo_y + sh] * ia_out
+        return ymm(m_out, sx) * ia_out
+
+    return boxm_mid, boxm_out, top, mid
 
 
 def _shift_x_vmem(x: jax.Array, d: int) -> jax.Array:
@@ -269,10 +303,9 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         ax = (jnp.minimum(W - 1, gx + r) - jnp.maximum(-1, gx - r - 1))
         inv_area = one / (ay * ax).astype(jnp.float32)
 
-        my = _band_matrix(she, r)
-
-        def boxm(x):
-            return _box_sum_hybrid(x, r, my, cfg.y_sum) * inv_area
+        boxm_mid, boxm_out, top, _mid = _make_boxms(
+            cfg.y_sum, she, sh, halo_y, r, inv_area)
+        in_img_mid = in_img[top : top + _mid]
 
         # x-derivative, one-sided at the global image edges
         # (costVolume.cu:362-378).  I2 is pre-shifted by dmin, so its
@@ -285,13 +318,14 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         der1 = deriv(I1, gx)
         der2 = deriv(I2, gx + dmin)
 
-        mean_i = boxm(I1)
-        var = boxm(I1 * I1) - mean_i * mean_i
+        mean_i = boxm_mid(I1)
+        var = boxm_mid(I1 * I1) - mean_i * mean_i
         c = one / (var + eps)
 
         best = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
         dmap = jnp.zeros((sh, tw), jnp.float32)
         crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
+        cropx = lambda t: t[:, px : px + tw]
 
         def slice_update(s, I2s, d2s, best, dmap):
             d = dmin + s                      # runtime label
@@ -299,13 +333,13 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
             cost = (one - alpha) * jnp.minimum(jnp.abs(I1 - I2s), th_color) + (
                 alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
             cost = jnp.where(in_img, jnp.where(valid, cost, oob), 0.0)
-            mean_p = boxm(cost)
-            mean_ip = boxm(I1 * cost)
+            mean_p = boxm_mid(cost)
+            mean_ip = boxm_mid(I1 * cost)
             a = (mean_ip - mean_i * mean_p) * c
             b = mean_p - mean_i * a
-            a = jnp.where(in_img, a, 0.0)
-            b = jnp.where(in_img, b, 0.0)
-            q = crop(boxm(a)) * crop(I1) + crop(boxm(b))
+            a = jnp.where(in_img_mid, a, 0.0)
+            b = jnp.where(in_img_mid, b, 0.0)
+            q = cropx(boxm_out(a)) * crop(I1) + cropx(boxm_out(b))
             upd = best >= q  # ascending d, >= : largest d wins ties
             return jnp.where(upd, q, best), jnp.where(upd, d.astype(jnp.float32), dmap)
 
@@ -526,10 +560,9 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         ax = (jnp.minimum(W - 1, gx + r) - jnp.maximum(-1, gx - r - 1))
         inv_area = one / (ay * ax).astype(jnp.float32)
 
-        my = _band_matrix(she, r)
-
-        def boxm(x):
-            return _box_sum_hybrid(x, r, my, cfg.y_sum) * inv_area
+        boxm_mid, boxm_out, top, _mid = _make_boxms(
+            cfg.y_sum, she, sh, halo_y, r, inv_area)
+        in_img_mid = in_img[top : top + _mid]
 
         def deriv(I, g):
             c1 = jnp.where(g < W - 1, _shift_x_vmem(I, 1), I)
@@ -539,23 +572,24 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         der1 = deriv(I1, gx)
         der2 = deriv(I2, gx)
 
-        mean_i1 = boxm(I1)
-        c1 = one / (boxm(I1 * I1) - mean_i1 * mean_i1 + eps)
-        mean_i2 = boxm(I2)
-        c2 = one / (boxm(I2 * I2) - mean_i2 * mean_i2 + eps)
+        mean_i1 = boxm_mid(I1)
+        c1 = one / (boxm_mid(I1 * I1) - mean_i1 * mean_i1 + eps)
+        mean_i2 = boxm_mid(I2)
+        c2 = one / (boxm_mid(I2 * I2) - mean_i2 * mean_i2 + eps)
 
         crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
+        cropx = lambda t: t[:, px : px + tw]
         I1c = crop(I1)
         I2c = crop(I2)
 
         def guided_q(cost, Ifull, Icrop, mean_i, c):
-            mean_p = boxm(cost)
-            mean_ip = boxm(Ifull * cost)
+            mean_p = boxm_mid(cost)
+            mean_ip = boxm_mid(Ifull * cost)
             a = (mean_ip - mean_i * mean_p) * c
             b = mean_p - mean_i * a
-            a = jnp.where(in_img, a, 0.0)
-            b = jnp.where(in_img, b, 0.0)
-            return crop(boxm(a)) * Icrop + crop(boxm(b))
+            a = jnp.where(in_img_mid, a, 0.0)
+            b = jnp.where(in_img_mid, b, 0.0)
+            return cropx(boxm_out(a)) * Icrop + cropx(boxm_out(b))
 
         best_l = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
         dmap_l = jnp.zeros((sh, tw), jnp.float32)
