@@ -23,7 +23,9 @@ chained at the Python level with the same perturb-by-output dependency;
 the chain is serialized by data dependencies and additionally pays real
 inter-stage dispatch latency.
 
-Set STEREO_BENCH_SKIP_BIG=1 to skip the 6 MP measurement.
+Set STEREO_BENCH_SKIP_BIG=1 to skip the 6 MP measurement and
+STEREO_BENCH_SKIP_BATCH=1 to skip the B=8 sequence-throughput
+measurement (BASELINE config #5).
 """
 
 import json
@@ -139,6 +141,44 @@ def bench_big(log):
     return per_ms
 
 
+def bench_batch(left_np, right_np, log, B=8, n=9):
+    """Sequence-throughput: B Tsukuba frames per step through
+    stereo_pipeline_batch (frames ride the pallas grid axis), steps
+    chained inside one jitted fori_loop.  Returns ms/frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG as cfg
+    from stereo_matching_cuda_tpu.pipeline import stereo_pipeline_batch
+
+    bl = jnp.asarray(np.stack([np.roll(left_np, i, axis=1) for i in range(B)]))
+    br = jnp.asarray(np.stack([np.roll(right_np, i, axis=1) for i in range(B)]))
+
+    def make(nsteps):
+        def step(i, carry):
+            li, ri = carry
+            out = stereo_pipeline_batch(li, ri, cfg)["occlusion_filled"]
+            li2 = li + (out[..., None].astype(jnp.uint8) & 1)
+            return (li2, ri)
+
+        def run(l, r):
+            lo, _ = jax.lax.fori_loop(0, nsteps, step, (l, r))
+            return jnp.sum(lo.astype(jnp.float32))
+
+        return jax.jit(run)
+
+    f1, fn = make(1), make(n)
+    t0 = time.time()
+    float(f1(bl, br)); float(fn(bl, br))
+    log(f"  batch B={B} compile+first: {time.time()-t0:.1f}s")
+    t1 = min(_timeit(f1, bl, br), _timeit(f1, bl, br))
+    tn = min(_timeit(fn, bl, br), _timeit(fn, bl, br))
+    per_frame_ms = (tn - t1) / (n - 1) / B * 1e3
+    log(f"sequence throughput: B={B} batched, {per_frame_ms:.3f} ms/frame "
+        f"= {1e3/per_frame_ms:.0f} frames/s")
+    return per_frame_ms
+
+
 def main():
     import jax
 
@@ -168,6 +208,15 @@ def main():
     extra = {"tsukuba_ms_per_frame": round(per * 1e3, 3)}
     if synthetic:
         extra["synthetic_input"] = True
+    if not os.environ.get("STEREO_BENCH_SKIP_BATCH"):
+        try:
+            batch_ms = bench_batch(np.asarray(left_np), np.asarray(right_np),
+                                   log)
+            extra["sequence_batch8_ms_per_frame"] = round(batch_ms, 3)
+            extra["sequence_batch8_fps"] = round(1e3 / batch_ms, 1)
+        except Exception as e:
+            log(f"batch bench failed: {e!r}")
+            extra["sequence_batch8_error"] = repr(e)
     if not os.environ.get("STEREO_BENCH_SKIP_BIG"):
         try:
             big_ms = bench_big(log)

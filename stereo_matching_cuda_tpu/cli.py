@@ -210,7 +210,11 @@ def main(argv=None) -> int:
             print("error: --mesh wants B,Y,X or B,Y,X,D", file=sys.stderr)
             return 2
         b, y, x, d = sizes
-        mesh = make_mesh(b, y, x, d)
+        try:
+            mesh = make_mesh(b, y, x, d)
+        except ValueError as e:   # e.g. fewer devices than b*y*x*d
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         sh_out = sharded_stereo_pipeline(
             _np.broadcast_to(left, (b,) + left.shape), 
             _np.broadcast_to(right, (b,) + right.shape), mesh, cfg)

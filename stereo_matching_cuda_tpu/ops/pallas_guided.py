@@ -129,14 +129,20 @@ def _forward_window_sum(x: jax.Array, k: int, axis: int) -> jax.Array:
     return result
 
 
+def _band_matrix(n: int, r: int) -> jax.Array:
+    """(n, n) float32 with M[i, j] = (|i-j| <= r) — multiplying by it
+    sums a (2r+1) window (clamped at array edges)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (jnp.abs(i - j) <= r).astype(jnp.float32)
+
+
 def _band_matrix_off(rows: int, cols: int, off: int, r: int) -> jax.Array:
     """(rows, cols) float32 with M[i, j] = (|i + off - j| <= r): a
     band matmul restricted to the ``rows`` output rows starting at
     input row ``off``.  Each retained output row computes the identical
     contraction as the square ``_band_matrix`` form, so restricting is
-    bit-exact — it only skips rows nobody consumes (the roofline model
-    showed the square form wastes 15-60% of the kernel's MXU time on
-    halo rows, scripts/roofline.py)."""
+    bit-exact — it only skips rows nobody consumes."""
     i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     return (jnp.abs(i + off - j) <= r).astype(jnp.float32)
@@ -175,27 +181,54 @@ def _band_matmul_limbs(my: jax.Array, sx: jax.Array, n_limbs: int) -> jax.Array:
     return acc
 
 
+def _box_sum_hybrid(x: jax.Array, r: int, my: jax.Array,
+                    impl: str | None = None) -> jax.Array:
+    """Centered window sum: x-direction via log-doubling lane rolls
+    (cheap on the VPU); y-direction either as a banded matmul on the
+    otherwise-idle MXU or as log-doubling sublane rolls (impl, falling
+    back to the module default _Y_SUM_IMPL).
+
+    The matmul's band matrix clamps at tile-ext edges while the roll
+    form wraps garbage into the outermost r rows — both are outside
+    the halo_y >= 2(r+1) consumption region, so consumers see
+    identical coverage."""
+    impl = impl or _Y_SUM_IMPL
+    k = 2 * r + 1
+    sx = _roll(_forward_window_sum(x, k, 1), r, 1)
+    if impl == "roll":
+        return _roll(_forward_window_sum(sx, k, 0), r, 0)
+    if impl == "mxu3":
+        return _band_matmul_limbs(my, sx, 3)
+    if impl == "mxu2":
+        return _band_matmul_limbs(my, sx, 2)
+    # HIGHEST precision: the default 1-pass bf16 MXU product loses ~16
+    # mantissa bits and flipped ~60x more WTA near-ties on hardware
+    # (312 vs 5 of 110k Tsukuba pixels)
+    return jax.lax.dot_general(
+        my, sx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
                 inv_area: jax.Array):
-    """(boxm_mid, boxm_out, top, mid): band-restricted box-mean pair.
+    """(boxm_mid, boxm_out, top, mid): band-restricted box-mean pair
+    for the SINGLE-VIEW kernel.
 
     ``boxm_mid``: full (she, W) ext tile -> (mid, W) — only the rows
     [top, top+mid) where a/b (and the guide statistics they consume)
     are needed: interior ± (r+1), 8-aligned.  ``boxm_out``: (mid, W)
     a/b band -> (sh, W) interior rows (the final mean(a)/mean(b)
-    pass).  For the matmul y-sum impls the restriction is bit-exact row
-    skipping (see _band_matrix_off); the roll impl keeps full columns
-    (top = 0) and boxm_out slices the interior afterwards.
+    pass).  For the matmul y-sum impls the restriction is bit-exact
+    row skipping (see _band_matrix_off); the roll impl keeps full
+    columns (top = 0) and boxm_out slices the interior afterwards.
 
-    The window sum itself is hybrid: x-direction via log-doubling lane
-    rolls (cheap on the VPU); y-direction either as a banded matmul on
-    the otherwise-idle MXU or as log-doubling sublane rolls.  The
-    matmul's band matrix clamps at tile-ext edges while the roll form
-    wraps garbage into the outermost r rows — both are outside the
-    halo_y >= 2(r+1) consumption region, so consumers see identical
-    coverage.  The default "mxu" matmul runs at Precision.HIGHEST: the
-    1-pass bf16 MXU product loses ~16 mantissa bits and flipped ~60x
-    more WTA near-ties on hardware (312 vs 5 of 110k Tsukuba px)."""
+    Hardware note (BENCH.md): the restriction wins in the single-view
+    fori-loop kernel (3 MP/128 d: 362 vs 394 ms @16 MiB, 254 vs
+    273 ms @32 MiB) but REGRESSED the unrolled dual-view kernel at
+    default tiles (Tsukuba 0.805 vs 0.660 ms — Mosaic mixed-shape
+    overhead + VMEM fragmentation on a VPU-bound kernel), so the dual
+    kernel keeps the square _box_sum_hybrid form."""
     k = 2 * r + 1
     impl = impl or _Y_SUM_IMPL
     top = 0 if impl == "roll" else max(0, (halo_y - (r + 1)) // 8 * 8)
@@ -560,9 +593,10 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         ax = (jnp.minimum(W - 1, gx + r) - jnp.maximum(-1, gx - r - 1))
         inv_area = one / (ay * ax).astype(jnp.float32)
 
-        boxm_mid, boxm_out, top, _mid = _make_boxms(
-            cfg.y_sum, she, sh, halo_y, r, inv_area)
-        in_img_mid = in_img[top : top + _mid]
+        my = _band_matrix(she, r)
+
+        def boxm(x):
+            return _box_sum_hybrid(x, r, my, cfg.y_sum) * inv_area
 
         def deriv(I, g):
             c1 = jnp.where(g < W - 1, _shift_x_vmem(I, 1), I)
@@ -572,24 +606,23 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         der1 = deriv(I1, gx)
         der2 = deriv(I2, gx)
 
-        mean_i1 = boxm_mid(I1)
-        c1 = one / (boxm_mid(I1 * I1) - mean_i1 * mean_i1 + eps)
-        mean_i2 = boxm_mid(I2)
-        c2 = one / (boxm_mid(I2 * I2) - mean_i2 * mean_i2 + eps)
+        mean_i1 = boxm(I1)
+        c1 = one / (boxm(I1 * I1) - mean_i1 * mean_i1 + eps)
+        mean_i2 = boxm(I2)
+        c2 = one / (boxm(I2 * I2) - mean_i2 * mean_i2 + eps)
 
         crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
-        cropx = lambda t: t[:, px : px + tw]
         I1c = crop(I1)
         I2c = crop(I2)
 
         def guided_q(cost, Ifull, Icrop, mean_i, c):
-            mean_p = boxm_mid(cost)
-            mean_ip = boxm_mid(Ifull * cost)
+            mean_p = boxm(cost)
+            mean_ip = boxm(Ifull * cost)
             a = (mean_ip - mean_i * mean_p) * c
             b = mean_p - mean_i * a
-            a = jnp.where(in_img_mid, a, 0.0)
-            b = jnp.where(in_img_mid, b, 0.0)
-            return cropx(boxm_out(a)) * Icrop + cropx(boxm_out(b))
+            a = jnp.where(in_img, a, 0.0)
+            b = jnp.where(in_img, b, 0.0)
+            return crop(boxm(a)) * Icrop + crop(boxm(b))
 
         best_l = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
         dmap_l = jnp.zeros((sh, tw), jnp.float32)
