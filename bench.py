@@ -81,19 +81,23 @@ def _timeit(f, l, r):
     return time.time() - t0
 
 
-def timed_frames(cfg, l, r, n_big=17, log=lambda *a: None):
-    f1 = make_looped(cfg, 1)
-    fn = make_looped(cfg, n_big)
+def timed_frames(cfg, l, r, n_small=17, n_big=49, log=lambda *a: None):
+    """Per-frame time = (t_big - t_small) / (n_big - n_small), both
+    executables chained-in-jit.  Differencing two LARGE chains (not
+    N=1) cancels the per-dispatch tunnel overhead, whose ±4 ms jitter
+    otherwise swamps a sub-ms frame; min of 3 runs each."""
+    fs = make_looped(cfg, n_small)
+    fb = make_looped(cfg, n_big)
     t0 = time.time()
-    float(f1(l, r))
-    log(f"  N=1 first call (incl compile): {time.time()-t0:.1f}s")
+    float(fs(l, r))
+    log(f"  N={n_small} first call (incl compile): {time.time()-t0:.1f}s")
     t0 = time.time()
-    float(fn(l, r))
+    float(fb(l, r))
     log(f"  N={n_big} first call (incl compile): {time.time()-t0:.1f}s")
-    t1 = min(_timeit(f1, l, r), _timeit(f1, l, r))
-    tn = min(_timeit(fn, l, r), _timeit(fn, l, r))
-    per = (tn - t1) / (n_big - 1)
-    return per, t1, tn
+    ts = min(_timeit(fs, l, r) for _ in range(3))
+    tb = min(_timeit(fb, l, r) for _ in range(3))
+    per = (tb - ts) / (n_big - n_small)
+    return per, ts, tb
 
 
 def bench_big(log):
@@ -167,13 +171,14 @@ def bench_batch(left_np, right_np, log, B=8, n=9):
 
         return jax.jit(run)
 
-    f1, fn = make(1), make(n)
+    n_small = 3
+    f1, fn = make(n_small), make(n)
     t0 = time.time()
     float(f1(bl, br)); float(fn(bl, br))
     log(f"  batch B={B} compile+first: {time.time()-t0:.1f}s")
-    t1 = min(_timeit(f1, bl, br), _timeit(f1, bl, br))
-    tn = min(_timeit(fn, bl, br), _timeit(fn, bl, br))
-    per_frame_ms = (tn - t1) / (n - 1) / B * 1e3
+    t1 = min(_timeit(f1, bl, br) for _ in range(3))
+    tn = min(_timeit(fn, bl, br) for _ in range(3))
+    per_frame_ms = (tn - t1) / (n - n_small) / B * 1e3
     log(f"sequence throughput: B={B} batched, {per_frame_ms:.3f} ms/frame "
         f"= {1e3/per_frame_ms:.0f} frames/s")
     return per_frame_ms
@@ -200,10 +205,10 @@ def main():
 
     l = jnp.asarray(left_np)
     r = jnp.asarray(right_np)
-    per, t1, tn = timed_frames(DEFAULT_CONFIG, l, r, log=log)
+    per, ts, tb = timed_frames(DEFAULT_CONFIG, l, r, log=log)
     fps = 1.0 / per if per > 0 else float("inf")
     log(f"tsukuba full pipeline: {per*1e3:.2f} ms/frame chained "
-        f"(t1={t1*1e3:.1f} ms, t17={tn*1e3:.1f} ms) -> {fps:.0f} fps")
+        f"(t17={ts*1e3:.1f} ms, t49={tb*1e3:.1f} ms) -> {fps:.0f} fps")
 
     extra = {"tsukuba_ms_per_frame": round(per * 1e3, 3)}
     if synthetic:

@@ -181,33 +181,40 @@ def _band_matmul_limbs(my: jax.Array, sx: jax.Array, n_limbs: int) -> jax.Array:
     return acc
 
 
-def _box_sum_hybrid(x: jax.Array, r: int, my: jax.Array,
-                    impl: str | None = None) -> jax.Array:
-    """Centered window sum: x-direction via log-doubling lane rolls
-    (cheap on the VPU); y-direction either as a banded matmul on the
-    otherwise-idle MXU or as log-doubling sublane rolls (impl, falling
-    back to the module default _Y_SUM_IMPL).
+def _box_sum_hybrid_many(xs, r: int, my: jax.Array,
+                         impl: str | None = None) -> list:
+    """Centered window sums for a LIST of same-shape operands:
+    x-direction via per-operand log-doubling lane rolls (cheap on the
+    VPU); y-direction as ONE banded matmul over the lane-concatenated
+    operands on the otherwise-idle MXU (or per-operand log-doubling
+    sublane rolls for impl="roll").  Matmul columns are independent, so
+    each output element's contraction is identical to the per-operand
+    form — bit-exact — while the single wide matmul amortizes the
+    band-matrix weight loads over len(xs)x the lanes.
 
     The matmul's band matrix clamps at tile-ext edges while the roll
     form wraps garbage into the outermost r rows — both are outside
-    the halo_y >= 2(r+1) consumption region, so consumers see
-    identical coverage."""
+    the halo_y >= 2(r+1) consumption region, so consumers see identical
+    coverage.  The default "mxu" matmul runs at Precision.HIGHEST: the
+    1-pass bf16 MXU product loses ~16 mantissa bits and flipped ~60x
+    more WTA near-ties on hardware (312 vs 5 of 110k Tsukuba px)."""
     impl = impl or _Y_SUM_IMPL
     k = 2 * r + 1
-    sx = _roll(_forward_window_sum(x, k, 1), r, 1)
+    sxs = [_roll(_forward_window_sum(x, k, 1), r, 1) for x in xs]
     if impl == "roll":
-        return _roll(_forward_window_sum(sx, k, 0), r, 0)
+        return [_roll(_forward_window_sum(sx, k, 0), r, 0) for sx in sxs]
+    cat = sxs[0] if len(sxs) == 1 else jnp.concatenate(sxs, axis=1)
     if impl == "mxu3":
-        return _band_matmul_limbs(my, sx, 3)
-    if impl == "mxu2":
-        return _band_matmul_limbs(my, sx, 2)
-    # HIGHEST precision: the default 1-pass bf16 MXU product loses ~16
-    # mantissa bits and flipped ~60x more WTA near-ties on hardware
-    # (312 vs 5 of 110k Tsukuba pixels)
-    return jax.lax.dot_general(
-        my, sx, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        out = _band_matmul_limbs(my, cat, 3)
+    elif impl == "mxu2":
+        out = _band_matmul_limbs(my, cat, 2)
+    else:
+        out = jax.lax.dot_general(
+            my, cat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    w = xs[0].shape[1]
+    return [out[:, i * w : (i + 1) * w] for i in range(len(xs))]
 
 
 def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
@@ -228,7 +235,7 @@ def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
     273 ms @32 MiB) but REGRESSED the unrolled dual-view kernel at
     default tiles (Tsukuba 0.805 vs 0.660 ms — Mosaic mixed-shape
     overhead + VMEM fragmentation on a VPU-bound kernel), so the dual
-    kernel keeps the square _box_sum_hybrid form."""
+    kernel keeps the square _box_sum_hybrid_many form."""
     k = 2 * r + 1
     impl = impl or _Y_SUM_IMPL
     top = 0 if impl == "roll" else max(0, (halo_y - (r + 1)) // 8 * 8)
@@ -250,18 +257,28 @@ def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
     ia_mid = inv_area[top : top + mid]
     ia_out = inv_area[halo_y : halo_y + sh]
 
-    def boxm_mid(x):
-        sx = _roll(_forward_window_sum(x, k, 1), r, 1)
-        if impl == "roll":
-            return _roll(_forward_window_sum(sx, k, 0), r, 0) * ia_mid
-        return ymm(m_mid, sx) * ia_mid
+    def many(m, xs, w):
+        """One band matmul over the lane-concatenated x-sums (bit-exact
+        vs per-operand: matmul columns are independent)."""
+        cat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+        out = ymm(m, cat)
+        return [out[:, i * w : (i + 1) * w] for i in range(len(xs))]
 
-    def boxm_out(x):
-        sx = _roll(_forward_window_sum(x, k, 1), r, 1)
+    def boxm_mid(*xs):
+        w = xs[0].shape[1]
+        sxs = [_roll(_forward_window_sum(x, k, 1), r, 1) for x in xs]
         if impl == "roll":
-            s = _roll(_forward_window_sum(sx, k, 0), r, 0)
-            return s[halo_y : halo_y + sh] * ia_out
-        return ymm(m_out, sx) * ia_out
+            return [_roll(_forward_window_sum(sx, k, 0), r, 0) * ia_mid
+                    for sx in sxs]
+        return [s * ia_mid for s in many(m_mid, sxs, w)]
+
+    def boxm_out(*xs):
+        w = xs[0].shape[1]
+        sxs = [_roll(_forward_window_sum(x, k, 1), r, 1) for x in xs]
+        if impl == "roll":
+            return [_roll(_forward_window_sum(sx, k, 0), r, 0)
+                    [halo_y : halo_y + sh] * ia_out for sx in sxs]
+        return [s * ia_out for s in many(m_out, sxs, w)]
 
     return boxm_mid, boxm_out, top, mid
 
@@ -351,8 +368,8 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         der1 = deriv(I1, gx)
         der2 = deriv(I2, gx + dmin)
 
-        mean_i = boxm_mid(I1)
-        var = boxm_mid(I1 * I1) - mean_i * mean_i
+        mean_i, mean_ii = boxm_mid(I1, I1 * I1)
+        var = mean_ii - mean_i * mean_i
         c = one / (var + eps)
 
         best = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
@@ -366,13 +383,13 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
             cost = (one - alpha) * jnp.minimum(jnp.abs(I1 - I2s), th_color) + (
                 alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
             cost = jnp.where(in_img, jnp.where(valid, cost, oob), 0.0)
-            mean_p = boxm_mid(cost)
-            mean_ip = boxm_mid(I1 * cost)
+            mean_p, mean_ip = boxm_mid(cost, I1 * cost)
             a = (mean_ip - mean_i * mean_p) * c
             b = mean_p - mean_i * a
             a = jnp.where(in_img_mid, a, 0.0)
             b = jnp.where(in_img_mid, b, 0.0)
-            q = cropx(boxm_out(a)) * crop(I1) + cropx(boxm_out(b))
+            ma, mb = boxm_out(a, b)
+            q = cropx(ma) * crop(I1) + cropx(mb)
             upd = best >= q  # ascending d, >= : largest d wins ties
             return jnp.where(upd, q, best), jnp.where(upd, d.astype(jnp.float32), dmap)
 
@@ -595,8 +612,9 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
 
         my = _band_matrix(she, r)
 
-        def boxm(x):
-            return _box_sum_hybrid(x, r, my, cfg.y_sum) * inv_area
+        def boxms(*xs):
+            return [o * inv_area
+                    for o in _box_sum_hybrid_many(xs, r, my, cfg.y_sum)]
 
         def deriv(I, g):
             c1 = jnp.where(g < W - 1, _shift_x_vmem(I, 1), I)
@@ -606,23 +624,14 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         der1 = deriv(I1, gx)
         der2 = deriv(I2, gx)
 
-        mean_i1 = boxm(I1)
-        c1 = one / (boxm(I1 * I1) - mean_i1 * mean_i1 + eps)
-        mean_i2 = boxm(I2)
-        c2 = one / (boxm(I2 * I2) - mean_i2 * mean_i2 + eps)
+        mean_i1, mean_ii1, mean_i2, mean_ii2 = boxms(
+            I1, I1 * I1, I2, I2 * I2)
+        c1 = one / (mean_ii1 - mean_i1 * mean_i1 + eps)
+        c2 = one / (mean_ii2 - mean_i2 * mean_i2 + eps)
 
         crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
         I1c = crop(I1)
         I2c = crop(I2)
-
-        def guided_q(cost, Ifull, Icrop, mean_i, c):
-            mean_p = boxm(cost)
-            mean_ip = boxm(Ifull * cost)
-            a = (mean_ip - mean_i * mean_p) * c
-            b = mean_p - mean_i * a
-            a = jnp.where(in_img, a, 0.0)
-            b = jnp.where(in_img, b, 0.0)
-            return crop(boxm(a)) * Icrop + crop(boxm(b))
 
         best_l = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
         dmap_l = jnp.zeros((sh, tw), jnp.float32)
@@ -638,15 +647,27 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
             # left view, label d ascending
             valid_l = (gx + d >= 0) & (gx + d < W)
             cost_l = jnp.where(in_img, jnp.where(valid_l, raw, oob), 0.0)
-            q = guided_q(cost_l, I1, I1c, mean_i1, c1)
-            upd = best_l >= q
-            best_l = jnp.where(upd, q, best_l)
-            dmap_l = jnp.where(upd, np.float32(d), dmap_l)
             # right view, label -d descending: raw_r(x) = raw(x - d)
             raw_r = _roll(raw, d, 1)
             valid_r = (gx - d >= 0) & (gx - d < W)
             cost_r = jnp.where(in_img, jnp.where(valid_r, raw_r, oob), 0.0)
-            q = guided_q(cost_r, I2, I2c, mean_i2, c2)
+            # both views' guided chains share each wide y-sum matmul
+            mp_l, mip_l, mp_r, mip_r = boxms(
+                cost_l, I1 * cost_l, cost_r, I2 * cost_r)
+            a_l = (mip_l - mean_i1 * mp_l) * c1
+            b_l = mp_l - mean_i1 * a_l
+            a_r = (mip_r - mean_i2 * mp_r) * c2
+            b_r = mp_r - mean_i2 * a_r
+            a_l = jnp.where(in_img, a_l, 0.0)
+            b_l = jnp.where(in_img, b_l, 0.0)
+            a_r = jnp.where(in_img, a_r, 0.0)
+            b_r = jnp.where(in_img, b_r, 0.0)
+            ma_l, mb_l, ma_r, mb_r = boxms(a_l, b_l, a_r, b_r)
+            q = crop(ma_l) * I1c + crop(mb_l)
+            upd = best_l >= q
+            best_l = jnp.where(upd, q, best_l)
+            dmap_l = jnp.where(upd, np.float32(d), dmap_l)
+            q = crop(ma_r) * I2c + crop(mb_r)
             upd = best_r > q
             best_r = jnp.where(upd, q, best_r)
             dmap_r = jnp.where(upd, np.float32(-d), dmap_r)
@@ -682,14 +703,19 @@ _VMEM_MB = None
 
 
 def _vmem_params(cfg: StereoConfig) -> tuple[int, int | None]:
-    """(tile-picker budget bytes, vmem_limit_bytes for Mosaic or None).
+    """(tile-picker budget bytes, vmem_limit_bytes for Mosaic).
 
-    With no override the budget is 15.7 MiB against Mosaic's default
-    16 MiB scoped limit; an override passes the raised limit to the
-    compiler and budgets 98% of it."""
+    With no override the PICKER budget stays 15.7 MiB (the tile sizes
+    below are hardware-calibrated against it) while the Mosaic scoped
+    limit is raised to 20 MiB: the limit only caps the compiler's
+    stack allocation, and the 4 MiB slack absorbs Mosaic's
+    fragmentation on the wide concatenated y-sum matmuls (measured
+    16.12 MiB at the 15.36 MiB estimate; v5e carries 128 MiB VMEM, and
+    32 MiB limits compile and run fine on this chip).  An explicit
+    cfg.vmem_mb override budgets 98% of the requested limit."""
     mb = cfg.vmem_mb if cfg.vmem_mb is not None else _VMEM_MB
     if mb is None:
-        return int(15.7 * 2**20), None
+        return int(15.7 * 2**20), int(20 * 2**20)
     return int(mb * 0.98 * 2**20), int(mb * 2**20)
 
 
