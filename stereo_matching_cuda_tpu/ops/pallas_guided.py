@@ -218,7 +218,7 @@ def _box_sum_hybrid_many(xs, r: int, my: jax.Array,
 
 
 def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
-                inv_area: jax.Array):
+                inv_area: jax.Array, restricted: bool = True):
     """(boxm_mid, boxm_out, top, mid): band-restricted box-mean pair
     for the SINGLE-VIEW kernel.
 
@@ -232,13 +232,18 @@ def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
 
     Hardware note (BENCH.md): the restriction wins in the single-view
     fori-loop kernel (3 MP/128 d: 362 vs 394 ms @16 MiB, 254 vs
-    273 ms @32 MiB) but REGRESSED the unrolled dual-view kernel at
-    default tiles (Tsukuba 0.805 vs 0.660 ms — Mosaic mixed-shape
-    overhead + VMEM fragmentation on a VPU-bound kernel), so the dual
-    kernel keeps the square _box_sum_hybrid_many form."""
+    273 ms @32 MiB) but REGRESSES unrolled kernels (Tsukuba dual 0.805
+    vs 0.660 ms at default tiles — Mosaic mixed-shape overhead + VMEM
+    fragmentation on a VPU-bound kernel), so ``restricted=False``
+    (used by every unrolled d-loop) keeps ONE square matmul shape:
+    top = 0, mid = she, and boxm_out row-slices the full product
+    (identical contractions, bit-exact either way)."""
     k = 2 * r + 1
     impl = impl or _Y_SUM_IMPL
-    top = 0 if impl == "roll" else max(0, (halo_y - (r + 1)) // 8 * 8)
+    if not restricted or impl == "roll":
+        top = 0
+    else:
+        top = max(0, (halo_y - (r + 1)) // 8 * 8)
     mid = she - 2 * top
 
     def ymm(m, sx):
@@ -251,11 +256,17 @@ def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-    m_mid = None if impl == "roll" else _band_matrix_off(mid, she, top, r)
-    m_out = None if impl == "roll" else _band_matrix_off(sh, mid,
-                                                         halo_y - top, r)
+    if impl == "roll":
+        m_mid = m_out = None
+    elif restricted:
+        m_mid = _band_matrix_off(mid, she, top, r)
+        m_out = _band_matrix_off(sh, mid, halo_y - top, r)
+    else:
+        m_mid = m_out = _band_matrix(she, r)   # one shared shape
     ia_mid = inv_area[top : top + mid]
     ia_out = inv_area[halo_y : halo_y + sh]
+    out_rows = (lambda t: t) if restricted else (
+        lambda t: t[halo_y : halo_y + sh])
 
     def many(m, xs, w):
         """One band matmul over the lane-concatenated x-sums (bit-exact
@@ -278,7 +289,7 @@ def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
         if impl == "roll":
             return [_roll(_forward_window_sum(sx, k, 0), r, 0)
                     [halo_y : halo_y + sh] * ia_out for sx in sxs]
-        return [s * ia_out for s in many(m_out, sxs, w)]
+        return [out_rows(s) * ia_out for s in many(m_out, sxs, w)]
 
     return boxm_mid, boxm_out, top, mid
 
@@ -353,8 +364,11 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         ax = (jnp.minimum(W - 1, gx + r) - jnp.maximum(-1, gx - r - 1))
         inv_area = one / (ay * ax).astype(jnp.float32)
 
+        # band restriction only pays in the fori branch (unrolled
+        # kernels lose to Mosaic mixed-shape overhead — BENCH.md)
         boxm_mid, boxm_out, top, _mid = _make_boxms(
-            cfg.y_sum, she, sh, halo_y, r, inv_area)
+            cfg.y_sum, she, sh, halo_y, r, inv_area,
+            restricted=size_d > unroll_max(cfg))
         in_img_mid = in_img[top : top + _mid]
 
         # x-derivative, one-sided at the global image edges
