@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vmem-mb", type=int, default=None,
                    help="fused-kernel VMEM budget in MiB (default: module "
                         "default; Mosaic's base limit is 16)")
+    p.add_argument("--slice-group", type=int, default=None,
+                   help="dual-view kernel: disparity slices batched per "
+                        "y-sum matmul (bit-exact; default: module default)")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",
@@ -140,16 +143,21 @@ def main(argv=None) -> int:
               "kernel is the fast path; WTA near-ties may flip)",
               file=sys.stderr)
         return 2
-    cfg = StereoConfig(
-        d_min=args.d_min, d_max=args.d_max, alpha=args.alpha,
-        th_color=args.th_color, th_grad=args.th_grad, radius=args.radius,
-        eps=args.eps, d_lr=args.d_lr, d_chunk=args.d_chunk,
-        exact_integral=args.exact,
-        fused=tristate[args.fused],
-        dual_view=tristate[args.dual_view],
-        staged=tristate[args.staged],
-        y_sum=args.y_sum, vmem_mb=args.vmem_mb,
-    )
+    try:
+        cfg = StereoConfig(
+            d_min=args.d_min, d_max=args.d_max, alpha=args.alpha,
+            th_color=args.th_color, th_grad=args.th_grad, radius=args.radius,
+            eps=args.eps, d_lr=args.d_lr, d_chunk=args.d_chunk,
+            exact_integral=args.exact,
+            fused=tristate[args.fused],
+            dual_view=tristate[args.dual_view],
+            staged=tristate[args.staged],
+            y_sum=args.y_sum, vmem_mb=args.vmem_mb,
+            slice_group=args.slice_group,
+        )
+    except ValueError as e:   # config validation (config.py __post_init__)
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if args.mesh and args.exact:
         print("error: --mesh does not support --exact (the sharded pipeline "
               "uses per-tile integral origins; run the parity mode on one "

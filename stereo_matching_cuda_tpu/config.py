@@ -91,6 +91,14 @@ class StereoConfig:
     # matmul with a manual 3/2-limb bf16 split of the data operand),
     # "roll" (log-doubling sublane rolls on the VPU).
     y_sum: Optional[str] = None
+    # Dual-view kernel: number of disparity slices whose y-sum matmuls
+    # are batched into one lane-concatenated band matmul per guided
+    # phase (None = the module default).  Grouping G slices turns the
+    # 2 matmuls/slice into 2 matmuls per G slices (4G operands wide):
+    # fewer, wider MXU ops amortize the band-weight loads further, at
+    # the cost of keeping 4G ext-tile operands live (more VMEM).
+    # Bit-exact: matmul columns are independent.
+    slice_group: Optional[int] = None
     # Fused-kernel VMEM budget in MiB (None = the module default).
     # Mosaic's default scoped-VMEM limit is 16 MiB; v5e has 128 MiB per
     # core, so raising this lets the tile picker choose taller strips
@@ -128,6 +136,9 @@ class StereoConfig:
             raise ValueError(
                 f"y_sum must be None, 'mxu', 'mxu3', 'mxu2' or 'roll', "
                 f"got {self.y_sum!r}")
+        if self.slice_group is not None and self.slice_group < 1:
+            raise ValueError(
+                f"slice_group must be >= 1, got {self.slice_group}")
         if self.vmem_mb is not None and not (4 <= self.vmem_mb <= 128):
             raise ValueError(
                 f"vmem_mb must be in [4, 128] MiB, got {self.vmem_mb}")

@@ -652,39 +652,53 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         best_r = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
         dmap_r = jnp.zeros((sh, tw), jnp.float32)
 
-        for s in range(size_d):
-            d = dmin + s  # left label, static
-            I2s = _shift_x_vmem(I2, d)
-            d2s = _shift_x_vmem(der2, d)
-            raw = (one - alpha) * jnp.minimum(jnp.abs(I1 - I2s), th_color) + (
-                alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
-            # left view, label d ascending
-            valid_l = (gx + d >= 0) & (gx + d < W)
-            cost_l = jnp.where(in_img, jnp.where(valid_l, raw, oob), 0.0)
-            # right view, label -d descending: raw_r(x) = raw(x - d)
-            raw_r = _roll(raw, d, 1)
-            valid_r = (gx - d >= 0) & (gx - d < W)
-            cost_r = jnp.where(in_img, jnp.where(valid_r, raw_r, oob), 0.0)
-            # both views' guided chains share each wide y-sum matmul
-            mp_l, mip_l, mp_r, mip_r = boxms(
-                cost_l, I1 * cost_l, cost_r, I2 * cost_r)
-            a_l = (mip_l - mean_i1 * mp_l) * c1
-            b_l = mp_l - mean_i1 * a_l
-            a_r = (mip_r - mean_i2 * mp_r) * c2
-            b_r = mp_r - mean_i2 * a_r
-            a_l = jnp.where(in_img, a_l, 0.0)
-            b_l = jnp.where(in_img, b_l, 0.0)
-            a_r = jnp.where(in_img, a_r, 0.0)
-            b_r = jnp.where(in_img, b_r, 0.0)
-            ma_l, mb_l, ma_r, mb_r = boxms(a_l, b_l, a_r, b_r)
-            q = crop(ma_l) * I1c + crop(mb_l)
-            upd = best_l >= q
-            best_l = jnp.where(upd, q, best_l)
-            dmap_l = jnp.where(upd, np.float32(d), dmap_l)
-            q = crop(ma_r) * I2c + crop(mb_r)
-            upd = best_r > q
-            best_r = jnp.where(upd, q, best_r)
-            dmap_r = jnp.where(upd, np.float32(-d), dmap_r)
+        # Disparity slices are processed in groups of G: each guided
+        # phase's y-sum matmuls for the WHOLE group ride one
+        # lane-concatenated band matmul (bit-exact — matmul columns are
+        # independent).  G=1 reproduces the per-slice form; larger G
+        # trades VMEM (4G ext operands live per phase) for fewer,
+        # wider MXU ops.
+        G = max(1, cfg.slice_group or _SLICE_GROUP)
+        for g0 in range(0, size_d, G):
+            ds = [dmin + s for s in range(g0, min(g0 + G, size_d))]
+            phase1 = []
+            for d in ds:
+                I2s = _shift_x_vmem(I2, d)
+                d2s = _shift_x_vmem(der2, d)
+                raw = (one - alpha) * jnp.minimum(
+                    jnp.abs(I1 - I2s), th_color) + (
+                    alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
+                # left view, label d ascending
+                valid_l = (gx + d >= 0) & (gx + d < W)
+                cost_l = jnp.where(in_img, jnp.where(valid_l, raw, oob), 0.0)
+                # right view, label -d descending: raw_r(x) = raw(x - d)
+                raw_r = _roll(raw, d, 1)
+                valid_r = (gx - d >= 0) & (gx - d < W)
+                cost_r = jnp.where(in_img, jnp.where(valid_r, raw_r, oob), 0.0)
+                phase1 += [cost_l, I1 * cost_l, cost_r, I2 * cost_r]
+            sums1 = boxms(*phase1)
+            phase2 = []
+            for i in range(len(ds)):
+                mp_l, mip_l, mp_r, mip_r = sums1[4 * i : 4 * i + 4]
+                a_l = (mip_l - mean_i1 * mp_l) * c1
+                b_l = mp_l - mean_i1 * a_l
+                a_r = (mip_r - mean_i2 * mp_r) * c2
+                b_r = mp_r - mean_i2 * a_r
+                phase2 += [jnp.where(in_img, a_l, 0.0),
+                           jnp.where(in_img, b_l, 0.0),
+                           jnp.where(in_img, a_r, 0.0),
+                           jnp.where(in_img, b_r, 0.0)]
+            sums2 = boxms(*phase2)
+            for i, d in enumerate(ds):
+                ma_l, mb_l, ma_r, mb_r = sums2[4 * i : 4 * i + 4]
+                q = crop(ma_l) * I1c + crop(mb_l)
+                upd = best_l >= q
+                best_l = jnp.where(upd, q, best_l)
+                dmap_l = jnp.where(upd, np.float32(d), dmap_l)
+                q = crop(ma_r) * I2c + crop(mb_r)
+                upd = best_r > q
+                best_r = jnp.where(upd, q, best_r)
+                dmap_r = jnp.where(upd, np.float32(-d), dmap_r)
 
         best_l_ref[0] = best_l
         dmap_l_ref[0] = dmap_l
@@ -694,9 +708,21 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
     return kernel
 
 
+# Dual-kernel slice-group default (see StereoConfig.slice_group); env
+# override for benching.
+_SLICE_GROUP = int(os.environ.get("STEREO_SLICE_GROUP", "1"))
+
 # VMEM live-buffer estimate for the dual kernel's unrolled loop (two
 # guided chains per slice; calibrated on hardware — see BENCH.md)
 _DUAL_N_LIVE = 70
+
+
+def _dual_n_live(cfg: StereoConfig) -> int:
+    """Grouping G slices keeps the group's 4G x-sum operands, the
+    lane-concatenated matmul input and its product live together —
+    roughly 12 extra ext-tile f32 buffers per slice beyond the first."""
+    g = max(1, cfg.slice_group or _SLICE_GROUP)
+    return max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20) + 12 * (g - 1)
 
 # Per-y-sum-impl live-buffer estimates for the single-view kernel.
 # "roll" keeps the log-doubling y-partials live through the unrolled
@@ -758,7 +784,7 @@ def guided_wta_fused_dual(
     halo_y, px = dual_geometry(cfg)
     sh, tw = _pick_tiles(H, W, px, halo_y,
                          vmem_budget=_vmem_params(cfg)[0],
-                         n_live=max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20))
+                         n_live=_dual_n_live(cfg))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw

@@ -237,6 +237,27 @@ def test_dual_view_straddling_range():
         assert mism <= max(4, want.size * 3e-3), f"{name}: {mism}/{want.size}"
 
 
+@pytest.mark.parametrize("group", [2, 5, 16])
+def test_dual_view_slice_groups_bit_identical(group):
+    """Grouping G disparity slices into one lane-concatenated y-sum
+    matmul per guided phase is bit-exact (matmul columns are
+    independent): every G must reproduce the G=1 outputs EXACTLY,
+    including a remainder group (G=5 over 16 slices) and the whole
+    d-loop as one group (G=16)."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
+
+    g1, g2 = _pair(48, 130, seed=7)
+    base = guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), CFG)
+    cfg_g = dataclasses.replace(CFG, slice_group=group,
+                                vmem_mb=64 if group >= 16 else None)
+    got = guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg_g)
+    for a, b, name in zip(base, got, ["best_l", "dmap_l", "best_r", "dmap_r"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"slice_group={group}: {name}")
+
+
 def test_dual_view_x_tiled_matches_oracle(monkeypatch):
     """Force (16, 256) tiles on a 64x600 frame (nx=3): the rolled
     right-view slice must stay seamless across x-tile boundaries."""
