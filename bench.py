@@ -147,8 +147,9 @@ def bench_big(log):
 
 def bench_batch(left_np, right_np, log, B=8, n=9):
     """Sequence-throughput: B Tsukuba frames per step through
-    stereo_pipeline_batch (frames ride the pallas grid axis), steps
-    chained inside one jitted fori_loop.  Returns ms/frame."""
+    stereo_pipeline_batch (lax.map of the single-frame pipeline —
+    measured faster than the grid-batched kernel, see pipeline.py),
+    steps chained inside one jitted fori_loop.  Returns ms/frame."""
     import jax
     import jax.numpy as jnp
 

@@ -96,6 +96,45 @@ def test_pipeline_batch_matches_single(small_pair):
         np.testing.assert_array_equal(np.asarray(out[k][1]), single1[k], err_msg=k)
 
 
+def test_pipeline_batch_fused_branch_matches_single(small_pair, monkeypatch):
+    """The fused branch of stereo_pipeline_batch (a lax.map of the
+    per-frame pipeline) must equal per-frame calls bit-for-bit.  On CPU
+    the fused path is forced via use_fused_path + interpret-mode
+    pallas (same kernel code Mosaic compiles on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+
+    from stereo_matching_cuda_tpu import pipeline as P
+
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pl, "pallas_call", interp)
+        monkeypatch.setattr(
+            P, "use_fused_path",
+            lambda cfg, full_outputs=False: not full_outputs and cfg.fused is True)
+
+    # fused=True gives a distinct jit static-arg key, so no trace cached
+    # by other (unfused) tests can be reused under the monkeypatch.
+    fused_cfg = dataclasses.replace(CFG, fused=True)
+    left, right = small_pair
+    batch_l = np.stack([left, left[:, ::-1]])
+    batch_r = np.stack([right, right[:, ::-1]])
+    out = P.stereo_pipeline_batch(
+        jnp.asarray(batch_l), jnp.asarray(batch_r), fused_cfg)
+    for i in range(2):
+        single = P.stereo_pipeline(
+            jnp.asarray(batch_l[i]), jnp.asarray(batch_r[i]), fused_cfg)
+        for k in ["disparity_left", "disparity_right", "occlusion_filled"]:
+            np.testing.assert_array_equal(
+                np.asarray(out[k][i]), np.asarray(single[k]), err_msg=k)
+
+
 def test_staged_pipeline_identical_to_composed(tsukuba):
     """cfg.staged=True (separately-jitted stages chained in Python) must
     produce bit-identical outputs to the one-jit composed pipeline —
