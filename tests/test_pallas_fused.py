@@ -198,6 +198,27 @@ def test_dual_view_matches_oracle(shape):
                                    rtol=1e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("impl", ["mxu3", "mxu2", "roll"])
+def test_dual_view_y_sum_variants_match_oracle(impl):
+    """Every y-window-sum implementation stays in the fast-path
+    accuracy class on the DUAL kernel too (cfg.y_sum is the product
+    knob the 6 MP / 128-disp configs may select — BENCH.md)."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
+
+    g1, g2 = _pair(48, 130, seed=9)
+    cost_l = R.cost_volume(g1, g2, CFG.d_min, CFG)
+    wd_l = R.guided_filter_wta(g1, cost_l, CFG.d_min, CFG)[1]
+    cost_r = R.cost_volume(g2, g1, CFG.d_min_right, CFG)
+    wd_r = R.guided_filter_wta(g2, cost_r, CFG.d_min_right, CFG)[1]
+    cfg = dataclasses.replace(CFG, y_sum=impl)
+    _, dl, _, dr = guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg)
+    for got, want, name in [(dl, wd_l, "left"), (dr, wd_r, "right")]:
+        mism = int((np.asarray(got) != want).sum())
+        assert mism <= max(4, want.size * 2e-3), f"{impl} {name}: {mism}"
+
+
 def test_dual_view_tsukuba_near_parity(tsukuba):
     from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
 
