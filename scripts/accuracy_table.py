@@ -74,6 +74,19 @@ def fused_out(dual):
 
 add("fused kernel (single-view)", fused_out(False))
 add("fused kernel (dual-view)", fused_out(True))
+
+# y-sum implementation variants on the dual kernel (cfg.y_sum —
+# candidates for the MXU-limited big-frame configs, BENCH.md).
+# Interpret mode computes matmuls in true f32 either way, so these
+# rows measure the variants' float-association deltas, not bf16 loss.
+for impl in ("mxu3", "mxu2", "roll"):
+    cfg_v = dataclasses.replace(CFG, y_sum=impl)
+    gl = ops.rgb_to_grayscale(jnp.asarray(left), CFG)
+    gr = ops.rgb_to_grayscale(jnp.asarray(right), CFG)
+    _, dl, _, dr = guided_wta_fused_dual(gl, gr, cfg_v)
+    occ = ops.detect_occlusion(dl, dr, CFG.d_occlusion, CFG)
+    add(f"dual kernel, y_sum={impl}", {"occlusion_filled": np.asarray(
+        ops.fill_occlusion(occ, CFG.v_min, CFG))})
 pl.pallas_call = _orig
 
 from stereo_matching_cuda_tpu.parallel import (  # noqa: E402
