@@ -68,13 +68,25 @@ def rows8(n: int) -> int:
 
 
 def roofline(H, W, cfg, label, measured_ms=None, mxu_passes=6,
-             force_sh=None, restricted=False):
+             force_sh=None, restricted=False, single_view=False,
+             n_live=None, y_impl="mxu", force_tw=None):
+    """single_view=True models ONE guided_wta_fused call (callers run
+    it twice per frame); n_live overrides the tile picker's live-buffer
+    estimate (the fori d-loop branch keeps far fewer ext tiles live
+    than the unrolled branch).  y_impl: 'mxu' (6 bf16 passes), 'mxu3'
+    (3 passes + 4 VPU limb ops/elt on the matmul inputs), 'roll'
+    (zero MXU; y window sums cost the same log-doubling VPU ops as x)."""
     halo_y, px = dual_geometry(cfg)
     sh, tw = _pick_tiles(H, W, px, halo_y,
                          vmem_budget=_vmem_params(cfg)[0],
-                         n_live=max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20))
+                         n_live=n_live if n_live is not None else
+                         max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20))
     if force_sh:
         sh = force_sh
+    if force_tw:
+        tw = force_tw
+    if y_impl == "mxu3":
+        mxu_passes = 3
     she = sh + 2 * halo_y
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
@@ -94,17 +106,29 @@ def roofline(H, W, cfg, label, measured_ms=None, mxu_passes=6,
     out_macs = rows8(out_rows) * rows8(mid) * tiles(w_ext) * T
 
     xsum_ops = 2 * int(math.log2(k)) + 2 * (bits(k) - 1) + 1 + 1
-    boxm_vpu = xsum_ops + 1
+    # boxm VPU cost per operand: x window sum (+1 normalize); the roll
+    # y-impl pays the same window-sum again in y, the limb split (mxu3)
+    # adds ~4 ops/elt on the matmul input, mxu adds nothing.
+    y_extra = {"roll": xsum_ops, "mxu3": 4}.get(y_impl, 0)
+    boxm_vpu = xsum_ops + 1 + y_extra
 
     raw_cost = 2 + 7
     per_view = (4 * boxm_vpu + 1 + (5 + 3) * mid // she + 2 + 3 + 2)
-    slice_vpu = raw_cost + 1 + 2 * per_view
-    setup_vpu = 6 * boxm_vpu + 6 + 8
+    if single_view:
+        # one guided chain; 2 operands per phase instead of 4
+        slice_vpu = raw_cost + 1 + per_view
+        setup_vpu = 3 * boxm_vpu + 3 + 8
+        mac_scale = 1
+    else:
+        slice_vpu = raw_cost + 1 + 2 * per_view
+        setup_vpu = 6 * boxm_vpu + 6 + 8
+        mac_scale = 2
 
     vpu_ops = n_prog * ext * (cfg.size_d * slice_vpu + setup_vpu)
-    mxu_flops = n_prog * mxu_passes * 2 * (
-        cfg.size_d * 2 * (2 * mid_macs + 2 * out_macs) + 6 * mid_macs)
-    hbm_bytes = n_prog * (2 * ext + 4 * sh * tw) * 4
+    mxu_flops = 0 if y_impl == "roll" else n_prog * mxu_passes * 2 * (
+        cfg.size_d * mac_scale * (2 * mid_macs + 2 * out_macs)
+        + 3 * mac_scale * mid_macs)
+    hbm_bytes = n_prog * (2 * ext + (2 if single_view else 4) * sh * tw) * 4
 
     t_vpu = vpu_ops / VPU_PEAK * 1e3
     t_mxu = mxu_flops / MXU_PEAK * 1e3
@@ -138,3 +162,18 @@ if __name__ == "__main__":
     roofline(1988, 2948, c128, "3 MP 128-disp kernel (default tiles)")
     c128v = dataclasses.replace(c128, vmem_mb=32)
     roofline(1988, 2948, c128v, "3 MP 128-disp kernel (vmem 32)")
+
+    # --- 6 MP single-view fori-loop candidates (x2 per frame): the
+    # fori branch keeps far fewer ext tiles live than the unrolled
+    # branch, affording bigger tiles (less halo recompute).
+    print("\n=== single-view fori candidates at 6 MP (time is PER VIEW;"
+          " frame = 2x + gray/LR/fill) ===")
+    for nl in (30, 24):
+        for impl in ("mxu", "mxu3", "roll"):
+            b = roofline(1992, 3008, cfg,
+                         f"6 MP single fori n_live={nl} y_sum={impl}",
+                         single_view=True, restricted=True, n_live=nl,
+                         y_impl=impl)
+    roofline(1992, 3008, cfg, "6 MP single fori (128,1024) roll",
+             single_view=True, restricted=True, n_live=30, y_impl="roll",
+             force_sh=128, force_tw=1024)
