@@ -359,3 +359,34 @@ def test_dual_batched_equals_per_frame():
             np.testing.assert_array_equal(
                 np.asarray(outs[j][i]), np.asarray(ref[j]),
                 err_msg=f"frame {i} out {j}")
+
+
+def test_pick_tiles_fori_branch_gets_bigger_tiles():
+    """The fori d-loop branch (size_d > unroll_max) keeps far fewer ext
+    tiles live than the unrolled branch, so the picker must afford it
+    bigger tiles (less halo recompute) at the same VMEM budget, and the
+    unroll/VMEM knobs must keep raising a clear error when nothing
+    fits."""
+    import dataclasses
+
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    wide = dataclasses.replace(CFG, d_min=-127, d_max=0)   # fori branch
+    assert wide.size_d > pg.unroll_max(wide)
+    assert CFG.size_d <= pg.unroll_max(CFG)                # unrolled
+    assert pg._n_live(wide) < pg._n_live(CFG)
+
+    hy, px = pg.fused_geometry(CFG)
+    budget = pg._vmem_params(CFG)[0]
+    sh_u, tw_u = pg._pick_tiles(1992, 3008, px, hy, vmem_budget=budget,
+                                n_live=pg._n_live(CFG))
+    sh_f, tw_f = pg._pick_tiles(1992, 3008, px, hy, vmem_budget=budget,
+                                n_live=pg._n_live(
+                                    dataclasses.replace(CFG, unroll_max=8)))
+    # bigger tiles = strictly less halo overhead per retained pixel
+    ovh = lambda sh, tw: ((sh + 2 * hy) *
+                          ((tw + 2 * px + 127) // 128 * 128)) / (sh * tw)
+    assert ovh(sh_f, tw_f) < ovh(sh_u, tw_u)
+
+    with pytest.raises(ValueError, match="VMEM budget"):
+        pg._pick_tiles(4096, 8192, 2000, hy, vmem_budget=budget)
