@@ -732,9 +732,19 @@ def _dual_n_live(cfg: StereoConfig) -> int:
 # and ran for mxu and mxu3 alike.
 _N_LIVE = {"mxu": 45, "mxu3": 45, "mxu2": 45, "roll": 56}
 
+# The fori d-loop branch keeps only the loop-carried state (rolled
+# match image + derivative, best, dmap) plus one slice's temporaries
+# live — far fewer ext tiles than the unrolled branch, so it affords
+# bigger tiles (less halo recompute).  Hardware-calibrated at 6 MP:
+# (she=176, wte=640) compiles and runs at these estimates.
+_N_LIVE_FORI = {"mxu": 32, "mxu3": 32, "mxu2": 32, "roll": 34}
+
 
 def _n_live(cfg: StereoConfig) -> int:
-    return _N_LIVE.get(cfg.y_sum or _Y_SUM_IMPL, 56)
+    impl = cfg.y_sum or _Y_SUM_IMPL
+    if cfg.size_d > unroll_max(cfg):  # fori d-loop branch
+        return _N_LIVE_FORI.get(impl, 34)
+    return _N_LIVE.get(impl, 56)
 
 
 # Default fused-kernel VMEM budget in MiB (None = Mosaic's 16 MiB
