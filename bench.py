@@ -185,6 +185,30 @@ def bench_batch(left_np, right_np, log, B=8, n=9):
     return per_frame_ms
 
 
+def _device_init_ok(log, timeout_s=600):
+    """jax device init hangs indefinitely when the axon TPU tunnel is
+    down (observed when the terminal died mid-round), which would hang
+    the driver.  Probe device enumeration in a timed subprocess and
+    fail fast with a clear message instead."""
+    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
+        return True
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].device_kind)"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        log(f"device init probe timed out after {timeout_s}s")
+        return False
+    if r.returncode != 0:
+        log(f"device init probe failed: {r.stderr.strip()[-300:]}")
+        return False
+    log(f"device init probe ok: {r.stdout.strip()}")
+    return True
+
+
 def main():
     import jax
 
@@ -197,9 +221,13 @@ def main():
 
     from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG
 
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    if not _device_init_ok(log):
+        log("ERROR: TPU device init is hanging (axon tunnel down?); "
+            "refusing to hang the driver")
+        sys.exit(1)
     left_np, right_np, synthetic = _load_tsukuba()
     dev = jax.devices()[0]
-    log = lambda *a: print(*a, file=sys.stderr, flush=True)
     log(f"device: {dev.device_kind} ({dev.platform})")
     if synthetic:
         log("WARNING: reference mount missing — timing SYNTHETIC frames")
