@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--slice-group", type=int, default=None,
                    help="dual-view kernel: disparity slices batched per "
                         "y-sum matmul (bit-exact; default: module default)")
+    p.add_argument("--unroll-max", type=int, default=None,
+                   help="fused-kernel d-loop unroll threshold; ranges wider "
+                        "than this run the fori-loop kernel variant "
+                        "(bigger tiles, faster compile — BENCH.md)")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",
@@ -153,7 +157,7 @@ def main(argv=None) -> int:
             dual_view=tristate[args.dual_view],
             staged=tristate[args.staged],
             y_sum=args.y_sum, vmem_mb=args.vmem_mb,
-            slice_group=args.slice_group,
+            slice_group=args.slice_group, unroll_max=args.unroll_max,
         )
     except ValueError as e:   # config validation (config.py __post_init__)
         print(f"error: {e}", file=sys.stderr)
