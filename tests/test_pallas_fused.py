@@ -330,6 +330,29 @@ def test_fused_wide_range_fori_loop():
     assert mism <= max(4, dmap.size * 2e-3), f"{mism}/{dmap.size}"
 
 
+@pytest.mark.parametrize("impl", ["mxu", "roll", "mxu3"])
+def test_fused_fori_forced_on_default_range(impl):
+    """cfg.unroll_max below size_d forces the fori branch on the
+    DEFAULT 16-disparity range — the big-frame strategy candidate
+    (scripts/r2_6mp_fori.py): both views via the runtime-dmin kernel
+    must stay in the fast-path accuracy class, for every y-sum impl."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+    cfg = dataclasses.replace(CFG, unroll_max=8, y_sum=impl)
+    assert cfg.size_d > 8
+    g1, g2 = _pair(48, 130, seed=13)
+    for gl, gr, dmin in [(g1, g2, cfg.d_min), (g2, g1, cfg.d_min_right)]:
+        cost = R.cost_volume(gl, gr, dmin, cfg)
+        _, want_dmap, _ = R.guided_filter_wta(gl, cost, dmin, cfg)
+        _, dmap = guided_wta_fused(jnp.asarray(gl), jnp.asarray(gr), dmin, cfg)
+        dmap = np.asarray(dmap)
+        mism = int((dmap != want_dmap).sum())
+        assert mism <= max(4, dmap.size * 2e-3), \
+            f"{impl} dmin={dmin}: {mism}/{dmap.size}"
+
+
 def test_fused_batched_equals_per_frame():
     """(B,H,W) batched single-view kernel == per-frame calls (the batch
     rides the pallas grid; sequence mode depends on this)."""
