@@ -171,6 +171,14 @@ def main(argv=None) -> int:
         print(f"error: --mesh only supports --aggregation guided, got "
               f"{args.aggregation!r}", file=sys.stderr)
         return 2
+    if cfg.fused is True and not args.oracle:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            print("error: --fused on requires a TPU backend (the Mosaic "
+                  "kernel does not compile on CPU); use --fused auto",
+                  file=sys.stderr)
+            return 2
     if args.eval:
         from .evaluate import evaluate_dataset
 

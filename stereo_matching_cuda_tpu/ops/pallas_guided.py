@@ -740,9 +740,14 @@ _N_LIVE = {"mxu": 45, "mxu3": 45, "mxu2": 45, "roll": 56}
 _N_LIVE_FORI = {"mxu": 32, "mxu3": 32, "mxu2": 32, "roll": 34}
 
 
-def _n_live(cfg: StereoConfig) -> int:
+def _n_live(cfg: StereoConfig, n_slices: int | None = None) -> int:
+    """``n_slices`` is the kernel's LOCAL slice count (differs from
+    cfg.size_d under 'd' sharding) — the unroll-vs-fori branch, and
+    hence the live-buffer estimate, follows the local count exactly as
+    _make_kernel does."""
     impl = cfg.y_sum or _Y_SUM_IMPL
-    if cfg.size_d > unroll_max(cfg):  # fori d-loop branch
+    size = cfg.size_d if n_slices is None else n_slices
+    if size > unroll_max(cfg):  # fori d-loop branch
         return _N_LIVE_FORI.get(impl, 34)
     return _N_LIVE.get(impl, 56)
 
@@ -880,7 +885,7 @@ def guided_wta_fused_local(
     assert gray1_ext.shape[-1] == tile_w + 2 * px, gray1_ext.shape
     sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y,
                          vmem_budget=_vmem_params(cfg)[0],
-                         n_live=_n_live(cfg))
+                         n_live=_n_live(cfg, n_slices))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (tile_h + sh - 1) // sh
     nx = (tile_w + tw - 1) // tw
