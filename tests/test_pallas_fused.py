@@ -413,3 +413,10 @@ def test_pick_tiles_fori_branch_gets_bigger_tiles():
 
     with pytest.raises(ValueError, match="VMEM budget"):
         pg._pick_tiles(4096, 8192, 2000, hy, vmem_budget=budget)
+
+    # under 'd' sharding the kernel unrolls the LOCAL slice count, so
+    # the estimate must follow n_slices, not the global cfg.size_d —
+    # a d-sharded wide range runs UNROLLED per shard and needs the
+    # larger (smaller-tile) unrolled estimate
+    assert pg._n_live(wide, n_slices=8) == pg._N_LIVE["mxu"]
+    assert pg._n_live(wide, n_slices=64) == pg._N_LIVE_FORI["mxu"]
