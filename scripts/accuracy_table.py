@@ -51,7 +51,6 @@ add("fast XLA path", compute_disparity(left, right, CFG))
 # — the TPU-measured row is in BENCH.md)
 _orig = pl.pallas_call
 pl.pallas_call = lambda *a, **k: _orig(*a, **{**k, "interpret": True})
-cfg_f = dataclasses.replace(CFG, fused=True, dual_view=False)
 from stereo_matching_cuda_tpu.ops.pallas_guided import (  # noqa: E402
     guided_wta_fused, guided_wta_fused_dual)
 from stereo_matching_cuda_tpu import ops  # noqa: E402

@@ -126,6 +126,10 @@ def _run_sequence(args, cfg) -> int:
             print(f"error: {lp}/{rp}: need same-shaped color frames, got "
                   f"{left.shape} vs {right.shape}", file=sys.stderr)
             return 2
+        if left.dtype != np.uint8 or right.dtype != np.uint8:
+            print(f"error: {lp}/{rp}: frames must be 8-bit, got "
+                  f"{left.dtype}/{right.dtype}", file=sys.stderr)
+            return 2
         out = compute_disparity(left, right, cfg)
         stem = os.path.splitext(os.path.basename(lp))[0]
         write_png(os.path.join(args.out, f"{stem}_disparity.png"),
@@ -186,6 +190,12 @@ def main(argv=None) -> int:
             print("error: --eval takes a single dataset root, not a pair",
                   file=sys.stderr)
             return 2
+        for flag, on in [("--mesh", args.mesh), ("--sequence", args.sequence),
+                         ("--oracle", args.oracle)]:
+            if on:
+                print(f"error: --eval does not support {flag}",
+                      file=sys.stderr)
+                return 2
         try:
             result = evaluate_dataset(args.left, cfg, args.gt_scale)
         except (OSError, ValueError, NotImplementedError) as e:
@@ -207,6 +217,13 @@ def main(argv=None) -> int:
         return 2
     if left.ndim != 3 or right.ndim != 3 or left.shape[2] < 3 or right.shape[2] < 3:
         print("error: inputs must be color images (H,W,3) or (H,W,4)", file=sys.stderr)
+        return 2
+    if left.dtype != np.uint8 or right.dtype != np.uint8:
+        # 16-bit decode exists for --gt files; the matching pipeline's
+        # contract (thresholds, grayscale truncation) is 8-bit
+        print(f"error: input images must be 8-bit (got {left.dtype}/"
+              f"{right.dtype}; 16-bit PNGs are supported only for --gt)",
+              file=sys.stderr)
         return 2
     if left.shape != right.shape:
         print(f"error: image shapes differ: {left.shape} vs {right.shape}", file=sys.stderr)

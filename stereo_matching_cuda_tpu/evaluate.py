@@ -87,10 +87,24 @@ def evaluate_scene(scene_dir: str, cfg: StereoConfig,
         raise ValueError(
             f"{scene_dir}: need same-shaped color pairs, got "
             f"{left.shape} vs {right.shape}")
+    if left.dtype != np.uint8 or right.dtype != np.uint8:
+        raise ValueError(
+            f"{scene_dir}: images must be 8-bit, got "
+            f"{left.dtype}/{right.dtype}")
 
     ndisp = _read_calib_ndisp(os.path.join(scene_dir, "calib.txt"))
     if ndisp is not None:
-        cfg = dataclasses.replace(cfg, d_min=-(ndisp - 1), d_max=0)
+        # per-scene range override: drop user knobs the new range makes
+        # invalid instead of aborting the whole dataset run
+        over: dict = {"d_min": -(ndisp - 1), "d_max": 0}
+        if cfg.d_chunk is not None and ndisp % cfg.d_chunk:
+            over["d_chunk"] = None
+        if cfg.dual_view is True:
+            from .ops.pallas_guided import unroll_max
+
+            if ndisp > unroll_max(cfg):
+                over["dual_view"] = "auto"   # falls back to per-view kernels
+        cfg = dataclasses.replace(cfg, **over)
 
     out = compute_disparity(left, right, cfg)
     disp = np.abs(np.asarray(out["occlusion_filled"], np.float32))
@@ -106,25 +120,38 @@ def evaluate_scene(scene_dir: str, cfg: StereoConfig,
         stats["bad_2_0_pct"] = round(bad_pixel_rate(disp, gt, 2.0), 3)
         stats["bad_1_0_pct"] = round(bad_pixel_rate(disp, gt, 1.0), 3)
         stats["epe"] = round(end_point_error(disp, gt), 3)
+        stats["gt_valid_px"] = int((gt != 0).sum())
         stats["gt_coverage_pct"] = round(100.0 * float((gt != 0).mean()), 1)
     return stats
 
 
 def evaluate_dataset(root: str, cfg: StereoConfig,
                      gt_scale: float = 1.0) -> dict:
-    """Evaluate every scene under ``root``; aggregate = GT-valid-pixel
-    -weighted means (the Middlebury "dense" average convention is the
-    plain scene mean — both reported)."""
+    """Evaluate every scene under ``root``.  A scene that fails (bad
+    files, incompatible config) is reported as {"error": ...} instead
+    of aborting the run.  Aggregate reports BOTH conventions: the plain
+    per-scene mean (Middlebury's "dense" average) and the
+    GT-valid-pixel-weighted mean."""
     scenes = {}
     for name, d in find_scenes(root):
-        scenes[name] = evaluate_scene(d, cfg, gt_scale)
+        try:
+            scenes[name] = evaluate_scene(d, cfg, gt_scale)
+        except (OSError, ValueError, NotImplementedError) as e:
+            scenes[name] = {"error": str(e)}
     if not scenes:
         raise ValueError(f"no scenes with im0.png/im1.png under {root}")
     scored = [s for s in scenes.values() if "bad_2_0_pct" in s]
-    agg: dict = {"scenes": len(scenes), "scored": len(scored)}
+    agg: dict = {"scenes": len(scenes), "scored": len(scored),
+                 "errors": sum(1 for s in scenes.values() if "error" in s)}
     if scored:
         agg["bad_2_0_pct_mean"] = round(
             float(np.mean([s["bad_2_0_pct"] for s in scored])), 3)
         agg["epe_mean"] = round(
             float(np.mean([s["epe"] for s in scored])), 3)
+        w = np.array([s["gt_valid_px"] for s in scored], np.float64)
+        if w.sum() > 0:
+            agg["bad_2_0_pct_weighted"] = round(float(np.average(
+                [s["bad_2_0_pct"] for s in scored], weights=w)), 3)
+            agg["epe_weighted"] = round(float(np.average(
+                [s["epe"] for s in scored], weights=w)), 3)
     return {"scenes": scenes, "aggregate": agg}

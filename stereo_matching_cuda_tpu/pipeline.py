@@ -32,6 +32,40 @@ def use_fused_path(cfg: StereoConfig, full_outputs: bool = False) -> bool:
     )
 
 
+def use_dual_view(cfg: StereoConfig) -> bool:
+    """Whether the fused path runs the dual-view kernel (both views in
+    one Mosaic pass) vs two per-view kernel calls.  Single source of
+    truth for the eligibility rule — the profiler keys off it too."""
+    from .ops.pallas_guided import unroll_max
+
+    return cfg.dual_view is True or (
+        cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg))
+
+
+def _match(gl, gr, cfg: StereoConfig, full_outputs: bool):
+    """The matching stage (cost + guided aggregation + WTA, both
+    views), shared by the composed and staged pipelines.  Returns
+    (best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, cost0_l, cost0_r)
+    — the last four are None unless ``full_outputs`` on the unfused
+    path."""
+    if use_fused_path(cfg, full_outputs):
+        from .ops.pallas_guided import guided_wta_fused, guided_wta_fused_dual
+
+        if use_dual_view(cfg):
+            best_l, dmap_l, best_r, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
+        else:
+            best_l, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
+            best_r, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
+        return best_l, dmap_l, best_r, dmap_r, None, None, None, None
+    cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
+    cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
+    best_l, dmap_l, mean_l = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
+    best_r, dmap_r, mean_r = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
+    if not full_outputs:
+        return best_l, dmap_l, best_r, dmap_r, None, None, None, None
+    return best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, cost_l[0], cost_r[0]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "full_outputs"))
 def stereo_pipeline(
     rgb_left: jax.Array,
@@ -47,23 +81,8 @@ def stereo_pipeline(
     """
     gl = ops.rgb_to_grayscale(rgb_left, cfg)
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
-    if use_fused_path(cfg, full_outputs):
-        from .ops.pallas_guided import (
-            guided_wta_fused, guided_wta_fused_dual, unroll_max)
-
-        dual = cfg.dual_view is True or (
-            cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg))
-        if dual:
-            best_l, dmap_l, best_r, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
-        else:
-            best_l, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
-            best_r, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
-        mean_l = mean_r = None
-    else:
-        cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
-        cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
-        best_l, dmap_l, mean_l = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
-        best_r, dmap_r, mean_r = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
+    best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, c0_l, c0_r = _match(
+        gl, gr, cfg, full_outputs)
     occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
     filled = ops.fill_occlusion(occ, cfg.v_min, cfg)
     out = {
@@ -77,7 +96,7 @@ def stereo_pipeline(
             gray_left=gl, gray_right=gr,
             mean_left=mean_l, mean_right=mean_r,
             best_cost_left=best_l, best_cost_right=best_r,
-            cost_left_s0=cost_l[0], cost_right_s0=cost_r[0],
+            cost_left_s0=c0_l, cost_right_s0=c0_r,
         )
     return out
 
@@ -106,25 +125,7 @@ def _gray_stage(rgb: jax.Array, cfg: StereoConfig) -> jax.Array:
 def _matching_stage(gl, gr, cfg: StereoConfig, full_outputs: bool = False):
     """Both views' (best, dmap) from grayscales; with ``full_outputs``
     also the unfused intermediates (mean images, cost slice 0)."""
-    if use_fused_path(cfg, full_outputs):
-        from .ops.pallas_guided import (
-            guided_wta_fused, guided_wta_fused_dual, unroll_max)
-
-        dual = cfg.dual_view is True or (
-            cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg))
-        if dual:
-            best_l, dmap_l, best_r, dmap_r = guided_wta_fused_dual(gl, gr, cfg)
-        else:
-            best_l, dmap_l = guided_wta_fused(gl, gr, cfg.d_min, cfg)
-            best_r, dmap_r = guided_wta_fused(gr, gl, cfg.d_min_right, cfg)
-        return best_l, dmap_l, best_r, dmap_r, None, None, None, None
-    cost_l = ops.cost_volume(gl, gr, cfg.d_min, cfg)
-    cost_r = ops.cost_volume(gr, gl, cfg.d_min_right, cfg)
-    best_l, dmap_l, mean_l = ops.guided_filter_wta(gl, cost_l, cfg.d_min, cfg)
-    best_r, dmap_r, mean_r = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
-    if not full_outputs:
-        return best_l, dmap_l, best_r, dmap_r, None, None, None, None
-    return best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, cost_l[0], cost_r[0]
+    return _match(gl, gr, cfg, full_outputs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

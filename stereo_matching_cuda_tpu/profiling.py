@@ -107,20 +107,81 @@ STAGES_DUAL = [
 ]
 
 
+def _staged_stage_table(left, right, cfg: StereoConfig, n: int) -> list[dict]:
+    """Big-frame profile: each pipeline stage timed as its OWN chained
+    jit (the composed prefix graphs stage_table builds trip the same
+    pathological XLA compile the staged product path exists to avoid —
+    BENCH.md).  Stage attribution is direct, not prefix-differenced."""
+    from . import ops
+    from .pipeline import _match, use_fused_path, use_dual_view
+
+    l = jnp.asarray(left)
+    r = jnp.asarray(right)
+    gray = jax.jit(lambda x: ops.rgb_to_grayscale(x, cfg))
+    gl, gr = gray(l), gray(r)
+    match_name = (
+        "fused dual-view cost+guided+WTA"
+        if use_fused_path(cfg) and use_dual_view(cfg)
+        else "fused cost+guided+WTA x2" if use_fused_path(cfg)
+        else "cost+guided_filter+WTA x2")
+    dmap_l, dmap_r = jax.jit(
+        lambda a, b: _match(a, b, cfg, False)[1::2][:2])(gl, gr)
+    occ = jax.jit(
+        lambda a, b: ops.detect_occlusion(a, b, cfg.d_occlusion, cfg))(
+        dmap_l, dmap_r)
+
+    def chain(fn, x, y):
+        def looped(a, b):
+            def step(i, carry):
+                ai, acc = carry
+                v = fn(ai, b)
+                # serialize iterations: a data-dependent 0/1 scalar added
+                # to the input (a zero-filled constant could be hoisted)
+                s = jnp.sum(v.astype(jnp.float32))
+                bump = (s.astype(jnp.int32) & 1).astype(ai.dtype)
+                return (ai + bump, acc + s)
+            _, acc = jax.lax.fori_loop(0, n, step, (a, jnp.float32(0)))
+            return acc
+        f1 = jax.jit(lambda a, b: jnp.sum(fn(a, b).astype(jnp.float32)))
+        fN = jax.jit(looped)
+        float(f1(x, y)); float(fN(x, y))
+        t1 = min(_t(f1, x, y), _t(f1, x, y))
+        tN = min(_t(fN, x, y), _t(fN, x, y))
+        return max(0.0, (tN - t1) / (n - 1))
+
+    rows = [
+        ("rgb_to_grayscale x2",
+         2 * chain(lambda a, b: ops.rgb_to_grayscale(a, cfg).astype(
+             jnp.float32), l, r)),
+        (match_name,
+         chain(lambda a, b: _match(a, b, cfg, False)[1], gl, gr)),
+        ("detect_occlusion",
+         chain(lambda a, b: ops.detect_occlusion(a, b, cfg.d_occlusion, cfg),
+               dmap_l, dmap_r)),
+        ("fill_occlusion",
+         chain(lambda a, b: ops.fill_occlusion(a, cfg.v_min, cfg), occ, occ)),
+    ]
+    out = [{"stage": name, "ms": round(t * 1e3, 3)} for name, t in rows]
+    out.append({"stage": "TOTAL (sum of stages)",
+                "ms": round(sum(t for _, t in rows) * 1e3, 3)})
+    return out
+
+
 def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> list[dict]:
     """Returns [{stage, ms}] with per-frame device ms attributed to each
     stage (cumulative-prefix differences, chained n-deep).  Times the
     same path the pipeline runs: the fused Pallas kernel on TPU
-    (pipeline.use_fused_path), the unfused XLA graph elsewhere."""
-    from .pipeline import use_fused_path
+    (pipeline.use_fused_path), the unfused XLA graph elsewhere; frames
+    that the product routes through the staged path are profiled
+    per-stage the same way (the composed prefix graph would hit the
+    big-frame XLA compile pathology)."""
+    from .pipeline import use_fused_path, use_dual_view, use_staged_path
 
+    if use_staged_path(cfg, left.shape[0], left.shape[1]):
+        return _staged_stage_table(left, right, cfg, n)
     fused = use_fused_path(cfg)
-    if fused:
-        from .ops.pallas_guided import unroll_max
-
-        if cfg.dual_view is True or (
-                cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg)):
-            fused = "dual"
+    if fused and use_dual_view(cfg):
+        fused = "dual"
     stages = ({"dual": STAGES_DUAL, True: STAGES_FUSED}.get(fused)
               or STAGES_UNFUSED)
     l = jnp.asarray(left)

@@ -29,6 +29,23 @@ def test_stage_table_structure_and_totals():
         assert r["ms"] >= 0.0 and np.isfinite(r["ms"])
 
 
+def test_stage_table_staged_path():
+    """Frames the product routes through the staged path are profiled
+    per-stage (their composed prefix graph would hit the big-frame XLA
+    compile pathology — BENCH.md); forced here via cfg.staged=True."""
+    import dataclasses
+
+    left, right = _pair()
+    cfg = dataclasses.replace(CFG, staged=True)
+    rows = profiling.stage_table(left, right, cfg, n=2)
+    names = [r["stage"] for r in rows]
+    assert names[0] == "rgb_to_grayscale x2"
+    assert names[1] == "cost+guided_filter+WTA x2"   # CPU = unfused
+    assert names[-1].startswith("TOTAL")
+    for r in rows:
+        assert r["ms"] >= 0.0 and np.isfinite(r["ms"])
+
+
 def test_print_stage_table_formatting():
     rows = [{"stage": "gray", "ms": 1.234}, {"stage": "TOTAL", "ms": 5.0}]
     buf = io.StringIO()
