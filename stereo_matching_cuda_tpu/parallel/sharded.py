@@ -27,7 +27,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                   # jax >= 0.8 top-level API
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:                    # older jax: check_rep kwarg
+    from jax.experimental.shard_map import shard_map
 
 from ..config import StereoConfig, DEFAULT_CONFIG
 from ..ops.boxfilter import box_sum, strict_mul
