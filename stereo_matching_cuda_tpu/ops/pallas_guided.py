@@ -475,8 +475,8 @@ def _fused_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
             num_scalar_prefetch=1,
             grid=(n_prog,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((she, w_ext), jnp.float32),
@@ -827,8 +827,8 @@ def guided_wta_fused_dual(
             num_scalar_prefetch=1,
             grid=(n_prog,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((she, w_ext), jnp.float32),

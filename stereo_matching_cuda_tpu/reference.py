@@ -311,8 +311,11 @@ def write_mat_normalize(mat: np.ndarray) -> np.ndarray:
     nonbreak = flat[~breaking]
     mx = np.float32(np.max(flat)) if np.any(flat > init_max) else init_max
     mn = np.float32(np.min(nonbreak)) if nonbreak.size and np.min(nonbreak) <= init_min else init_min
-    c = ((flat - mn) * np.float32(255.0)) / (mx - mn)
-    ci = np.trunc(c).astype(np.int64)
+    with np.errstate(over="ignore", invalid="ignore"):
+        # extreme inputs overflow f32 and produce NaN→0 casts exactly as
+        # the C expression does — intentional, matches main.cu:28-30
+        c = ((flat - mn) * np.float32(255.0)) / (mx - mn)
+        ci = np.trunc(c).astype(np.int64)
     return (ci & 0xFF).astype(np.uint8).reshape(mat.shape)
 
 
