@@ -173,6 +173,14 @@ class StereoConfig:
         """Box window edge length."""
         return 2 * self.radius + 1
 
+    @property
+    def shift_max(self) -> int:
+        """Largest |disparity| any view samples at.  The right view's
+        labels are d_min_right + s = -d_max .. -d_min, so this is just
+        max(|d_min|, |d_max|) — the long 4-term max previously written
+        at every halo-arithmetic site reduces to it."""
+        return max(abs(self.d_min), abs(self.d_max))
+
     def disparities(self, dmin: Optional[int] = None) -> Tuple[int, ...]:
         base = self.d_min if dmin is None else dmin
         return tuple(base + s for s in range(self.size_d))

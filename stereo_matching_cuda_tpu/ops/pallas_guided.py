@@ -181,6 +181,28 @@ def _band_matmul_limbs(my: jax.Array, sx: jax.Array, n_limbs: int) -> jax.Array:
     return acc
 
 
+def _y_matmul(impl: str, m: jax.Array, sx: jax.Array) -> jax.Array:
+    """One y-direction band matmul under the chosen implementation —
+    the single dispatch shared by the dual kernel's hybrid box sums and
+    the single-view kernel's (optionally band-restricted) pair."""
+    if impl == "mxu3":
+        return _band_matmul_limbs(m, sx, 3)
+    if impl == "mxu2":
+        return _band_matmul_limbs(m, sx, 2)
+    return jax.lax.dot_general(
+        m, sx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _y_matmul_many(impl: str, m: jax.Array, xs, w: int) -> list:
+    """One band matmul over the lane-concatenated operands (bit-exact
+    vs per-operand: matmul columns are independent), split back."""
+    cat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+    out = _y_matmul(impl, m, cat)
+    return [out[:, i * w : (i + 1) * w] for i in range(len(xs))]
+
+
 def _box_sum_hybrid_many(xs, r: int, my: jax.Array,
                          impl: str | None = None) -> list:
     """Centered window sums for a LIST of same-shape operands:
@@ -203,18 +225,7 @@ def _box_sum_hybrid_many(xs, r: int, my: jax.Array,
     sxs = [_roll(_forward_window_sum(x, k, 1), r, 1) for x in xs]
     if impl == "roll":
         return [_roll(_forward_window_sum(sx, k, 0), r, 0) for sx in sxs]
-    cat = sxs[0] if len(sxs) == 1 else jnp.concatenate(sxs, axis=1)
-    if impl == "mxu3":
-        out = _band_matmul_limbs(my, cat, 3)
-    elif impl == "mxu2":
-        out = _band_matmul_limbs(my, cat, 2)
-    else:
-        out = jax.lax.dot_general(
-            my, cat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    w = xs[0].shape[1]
-    return [out[:, i * w : (i + 1) * w] for i in range(len(xs))]
+    return _y_matmul_many(impl, my, sxs, xs[0].shape[1])
 
 
 def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
@@ -246,16 +257,6 @@ def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
         top = max(0, (halo_y - (r + 1)) // 8 * 8)
     mid = she - 2 * top
 
-    def ymm(m, sx):
-        if impl == "mxu3":
-            return _band_matmul_limbs(m, sx, 3)
-        if impl == "mxu2":
-            return _band_matmul_limbs(m, sx, 2)
-        return jax.lax.dot_general(
-            m, sx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-
     if impl == "roll":
         m_mid = m_out = None
     elif restricted:
@@ -268,20 +269,13 @@ def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
     out_rows = (lambda t: t) if restricted else (
         lambda t: t[halo_y : halo_y + sh])
 
-    def many(m, xs, w):
-        """One band matmul over the lane-concatenated x-sums (bit-exact
-        vs per-operand: matmul columns are independent)."""
-        cat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
-        out = ymm(m, cat)
-        return [out[:, i * w : (i + 1) * w] for i in range(len(xs))]
-
     def boxm_mid(*xs):
         w = xs[0].shape[1]
         sxs = [_roll(_forward_window_sum(x, k, 1), r, 1) for x in xs]
         if impl == "roll":
             return [_roll(_forward_window_sum(sx, k, 0), r, 0) * ia_mid
                     for sx in sxs]
-        return [s * ia_mid for s in many(m_mid, sxs, w)]
+        return [s * ia_mid for s in _y_matmul_many(impl, m_mid, sxs, w)]
 
     def boxm_out(*xs):
         w = xs[0].shape[1]
@@ -289,7 +283,7 @@ def _make_boxms(impl: str | None, she: int, sh: int, halo_y: int, r: int,
         if impl == "roll":
             return [_roll(_forward_window_sum(sx, k, 0), r, 0)
                     [halo_y : halo_y + sh] * ia_out for sx in sxs]
-        return [out_rows(s) * ia_out for s in many(m_out, sxs, w)]
+        return [out_rows(s) * ia_out for s in _y_matmul_many(impl, m_out, sxs, w)]
 
     return boxm_mid, boxm_out, top, mid
 
@@ -438,8 +432,7 @@ def fused_geometry(cfg: StereoConfig) -> tuple[int, int]:
     and derivative reach."""
     r = cfg.radius
     halo_y = ((2 * (r + 1) + 2) + 7) // 8 * 8
-    shift = max(abs(cfg.d_min), abs(cfg.d_max),
-                abs(cfg.d_min_right), abs(cfg.d_min_right + cfg.size_d - 1))
+    shift = cfg.shift_max
     # the kernel reads the dmin-pre-shifted match image at +s for
     # s = 0..size_d-1, so the column budget must cover BOTH the absolute
     # shift (placement) and the slice reach (reads) — for ranges

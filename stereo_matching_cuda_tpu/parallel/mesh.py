@@ -38,7 +38,6 @@ def pipeline_halo(cfg: StereoConfig) -> tuple[int, int]:
          guidedFilter.cu:171-238)
       y: 2·(R+1)
     """
-    shift = max(abs(cfg.d_min), abs(cfg.d_max), abs(cfg.d_min_right),
-                abs(cfg.d_min_right + cfg.size_d - 1))
+    shift = cfg.shift_max
     box2 = 2 * (cfg.radius + 1)
     return box2, shift + 1 + box2

@@ -34,11 +34,15 @@ def initialize(coordinator_address: str | None = None,
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except ValueError:
-            # auto-detection found no coordinator (plain single-process
-            # run); anything else — timeouts, version skew, partial
-            # clusters — propagates
-            return
+        except ValueError as e:
+            # auto-detection found NO cluster at all (plain
+            # single-process run) raises exactly this; a PARTIAL
+            # cluster env ("Number of processes must be defined.",
+            # "process id ... must be defined.") propagates — it must
+            # not silently degrade to single-process
+            if "coordinator_address should be defined" in str(e):
+                return
+            raise
         return
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 

@@ -114,9 +114,11 @@ def _local_cost_volume_dyn(g1, der1, g2, der2, gx, dmin_dyn, size_d, shift_max,
     return jnp.stack(slices, axis=0)
 
 
-def _local_guided_wta(g_ext, cost, area, in_image, dmin, cfg):
-    """Extended-tile guided filter + WTA; returns tile-cropped
-    (best, dmap, mean_u8) given crop slices applied by caller."""
+def _local_guided_wta(g_ext, cost, area, in_image, cfg):
+    """Extended-tile guided filter: returns the UNCROPPED per-slice
+    filtered costs ``q`` (D, he, we) and the float guide mean — the
+    caller crops to the tile interior and runs the WTA/label logic
+    (it owns the disparity base under 'd' sharding)."""
     r = cfg.radius
     I = g_ext.astype(jnp.float32)  # zeros outside image (zero halos)
     mean_i = box_sum(I, r) / area
@@ -200,9 +202,12 @@ def sharded_stereo_pipeline(
             "design (see tests/test_sharded.py)")
     # fused per-chip kernel (the base disparity is a runtime scalar, so
     # disparity-sharded meshes use it too)
-    use_fused = (
-        cfg.fused is True
-        or (cfg.fused == "auto" and jax.default_backend() == "tpu"))
+    # same gate as the single-chip pipeline (one source of truth —
+    # fused requires a Mosaic backend even when forced; interpret-mode
+    # tests monkeypatch pipeline.use_fused_path)
+    from .. import pipeline as _pipeline
+
+    use_fused = _pipeline.use_fused_path(cfg)
     if use_fused:
         from ..ops.pallas_guided import fused_geometry
 
@@ -217,8 +222,7 @@ def sharded_stereo_pipeline(
         raise ValueError(f"size_d {size_d} not divisible by d-axis size {nd}")
     d_per = size_d // nd
     shift = 0 - min(cfg.d_min, cfg.d_min_right)
-    shift_max = max(abs(cfg.d_min), abs(cfg.d_max), abs(cfg.d_min_right),
-                    abs(cfg.d_min_right + size_d - 1))
+    shift_max = cfg.shift_max
 
     def local_fn(rgbl, rgbr):
         # rgbl/rgbr: (Bl, hl, wl, C)
@@ -255,8 +259,9 @@ def sharded_stereo_pipeline(
                     g1e, g2e, y0, x0, dmin_loc, cfg, H, W, hl, wl,
                     n_slices=d_per if nd > 1 else None)
                 # mean for output parity: one box mean of the guide
+                # (box_sum batches leading axes natively)
                 I = g1e.astype(jnp.float32)
-                mean_i = jax.vmap(lambda x: box_sum(x, cfg.radius))(I) / area
+                mean_i = box_sum(I, cfg.radius) / area
                 mean = fl_to_ch(crop(mean_i))
                 if nd > 1:
                     bests = jax.lax.all_gather(best, "d")
@@ -280,7 +285,7 @@ def sharded_stereo_pipeline(
                     cost = _local_cost_volume_dyn(
                         g1f, der1, g2f, der2, gx, dmin_loc, d_per, shift_max,
                         W, cfg, in_image)
-                q, mean_i = _local_guided_wta(g1f, cost, area, in_image, dmin, cfg)
+                q, mean_i = _local_guided_wta(g1f, cost, area, in_image, cfg)
                 best, sidx = _chunk_wta(crop(q))
                 dmap = (dmin_loc + sidx).astype(jnp.float32)
                 return best, dmap, fl_to_ch(crop(mean_i))

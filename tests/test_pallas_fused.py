@@ -21,6 +21,15 @@ def _interpret_pallas(monkeypatch):
             return orig(*a, **k)
 
         monkeypatch.setattr(pl, "pallas_call", interp)
+        # fused=True must force the kernel path here even off-TPU
+        # (interpret mode runs the same kernel code Mosaic compiles);
+        # the product predicate requires a real TPU backend
+        from stereo_matching_cuda_tpu import pipeline as P
+
+        monkeypatch.setattr(
+            P, "use_fused_path",
+            lambda cfg, full_outputs=False: not full_outputs
+            and cfg.fused is True)
     yield
 
 
