@@ -242,55 +242,66 @@ int sio_read_png(const char* path, unsigned char** data, int* out_w, int* out_h,
   }
 }
 
-// channels: 1 (gray), 3 (RGB) or 4 (RGBA).  Filter 0, zlib level 6.
-int sio_write_png(const char* path, const unsigned char* data, int w, int h,
-                  int channels) {
-  int color_type;
-  switch (channels) {
-    case 1: color_type = 0; break;
-    case 3: color_type = 2; break;
-    case 4: color_type = 6; break;
-    default: return 1;
-  }
-  const size_t stride = size_t(w) * channels;
-  std::vector<unsigned char> raw(size_t(h) * (stride + 1));
-  for (int y = 0; y < h; ++y) {
-    raw[y * (stride + 1)] = 0;
-    memcpy(raw.data() + y * (stride + 1) + 1, data + y * stride, stride);
-  }
-  uLongf clen = compressBound(static_cast<uLong>(raw.size()));
-  std::vector<unsigned char> comp(clen);
-  if (compress2(comp.data(), &clen, raw.data(), static_cast<uLong>(raw.size()), 6) != Z_OK)
-    return 2;
-  comp.resize(clen);
-
+// Writes magic + IHDR + IDAT + IEND with full I/O error checking: a
+// short write (disk full) or failed close/flush returns nonzero
+// instead of reporting a truncated file as success.
+static int write_png_file(const char* path, const unsigned char ihdr[13],
+                          const unsigned char* comp, size_t comp_len) {
   FILE* f = fopen(path, "wb");
   if (!f) return 3;
-  fwrite(kMagic, 1, 8, f);
+  bool ok = fwrite(kMagic, 1, 8, f) == 8;
   auto chunk = [&](const char* type, const unsigned char* payload, uint32_t len) {
     unsigned char hdr[8];
     put_be32(hdr, len);
     memcpy(hdr + 4, type, 4);
-    fwrite(hdr, 1, 8, f);
-    if (len) fwrite(payload, 1, len, f);
+    ok = ok && fwrite(hdr, 1, 8, f) == 8;
+    if (len) ok = ok && fwrite(payload, 1, len, f) == len;
     uLong crc = crc32(0L, Z_NULL, 0);
     crc = crc32(crc, reinterpret_cast<const Bytef*>(type), 4);
     if (len) crc = crc32(crc, payload, len);
     unsigned char tail[4];
     put_be32(tail, static_cast<uint32_t>(crc));
-    fwrite(tail, 1, 4, f);
+    ok = ok && fwrite(tail, 1, 4, f) == 4;
   };
-  unsigned char ihdr[13];
-  put_be32(ihdr, uint32_t(w));
-  put_be32(ihdr + 4, uint32_t(h));
-  ihdr[8] = 8;
-  ihdr[9] = static_cast<unsigned char>(color_type);
-  ihdr[10] = ihdr[11] = ihdr[12] = 0;
   chunk("IHDR", ihdr, 13);
-  chunk("IDAT", comp.data(), static_cast<uint32_t>(comp.size()));
+  chunk("IDAT", comp, static_cast<uint32_t>(comp_len));
   chunk("IEND", nullptr, 0);
-  fclose(f);
-  return 0;
+  if (fclose(f) != 0) ok = false;
+  return ok ? 0 : 5;
+}
+
+// channels: 1 (gray), 3 (RGB) or 4 (RGBA).  Filter 0, zlib level 6.
+int sio_write_png(const char* path, const unsigned char* data, int w, int h,
+                  int channels) {
+  try {
+    int color_type;
+    switch (channels) {
+      case 1: color_type = 0; break;
+      case 3: color_type = 2; break;
+      case 4: color_type = 6; break;
+      default: return 1;
+    }
+    const size_t stride = size_t(w) * channels;
+    std::vector<unsigned char> raw(size_t(h) * (stride + 1));
+    for (int y = 0; y < h; ++y) {
+      raw[y * (stride + 1)] = 0;
+      memcpy(raw.data() + y * (stride + 1) + 1, data + y * stride, stride);
+    }
+    uLongf clen = compressBound(static_cast<uLong>(raw.size()));
+    std::vector<unsigned char> comp(clen);
+    if (compress2(comp.data(), &clen, raw.data(), static_cast<uLong>(raw.size()), 6) != Z_OK)
+      return 2;
+
+    unsigned char ihdr[13];
+    put_be32(ihdr, uint32_t(w));
+    put_be32(ihdr + 4, uint32_t(h));
+    ihdr[8] = 8;
+    ihdr[9] = static_cast<unsigned char>(color_type);
+    ihdr[10] = ihdr[11] = ihdr[12] = 0;
+    return write_png_file(path, ihdr, comp.data(), size_t(clen));
+  } catch (...) {
+    return 4;  // bad_alloc must not cross the extern "C"/ctypes boundary
+  }
 }
 
 // 16-bit grayscale writer (disparity ground-truth files).  `data` is
@@ -312,34 +323,13 @@ int sio_write_png16(const char* path, const uint16_t* data, int w, int h) {
     std::vector<unsigned char> comp(clen);
     if (compress2(comp.data(), &clen, raw.data(), static_cast<uLong>(raw.size()), 6) != Z_OK)
       return 2;
-    comp.resize(clen);
-    FILE* f = fopen(path, "wb");
-    if (!f) return 3;
-    fwrite(kMagic, 1, 8, f);
-    auto chunk = [&](const char* type, const unsigned char* payload, uint32_t len) {
-      unsigned char hdr[8];
-      put_be32(hdr, len);
-      memcpy(hdr + 4, type, 4);
-      fwrite(hdr, 1, 8, f);
-      if (len) fwrite(payload, 1, len, f);
-      uLong crc = crc32(0L, Z_NULL, 0);
-      crc = crc32(crc, reinterpret_cast<const Bytef*>(type), 4);
-      if (len) crc = crc32(crc, payload, len);
-      unsigned char tail[4];
-      put_be32(tail, static_cast<uint32_t>(crc));
-      fwrite(tail, 1, 4, f);
-    };
     unsigned char ihdr[13];
     put_be32(ihdr, uint32_t(w));
     put_be32(ihdr + 4, uint32_t(h));
     ihdr[8] = 16;
     ihdr[9] = 0;  // grayscale
     ihdr[10] = ihdr[11] = ihdr[12] = 0;
-    chunk("IHDR", ihdr, 13);
-    chunk("IDAT", comp.data(), static_cast<uint32_t>(comp.size()));
-    chunk("IEND", nullptr, 0);
-    fclose(f);
-    return 0;
+    return write_png_file(path, ihdr, comp.data(), size_t(clen));
   } catch (...) {
     return 4;
   }

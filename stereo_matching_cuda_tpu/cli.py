@@ -101,10 +101,18 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _run_sequence(args, cfg) -> int:
-    """Directory mode: stream pairs through one compiled pipeline."""
+    """Directory mode: stream pairs through one compiled pipeline
+    (guided by default; --aggregation box uses the box model)."""
     import glob
 
-    from .pipeline import compute_disparity
+    if args.aggregation == "box":
+        from .models.box import box_stereo_pipeline
+
+        def compute(l, r, c):
+            return {k: np.asarray(v)
+                    for k, v in box_stereo_pipeline(l, r, c).items()}
+    else:
+        from .pipeline import compute_disparity as compute
 
     lefts = sorted(glob.glob(os.path.join(args.left, "*")))
     rights = sorted(glob.glob(os.path.join(args.right, "*")))
@@ -130,7 +138,7 @@ def _run_sequence(args, cfg) -> int:
             print(f"error: {lp}/{rp}: frames must be 8-bit, got "
                   f"{left.dtype}/{right.dtype}", file=sys.stderr)
             return 2
-        out = compute_disparity(left, right, cfg)
+        out = compute(left, right, cfg)
         stem = os.path.splitext(os.path.basename(lp))[0]
         write_png(os.path.join(args.out, f"{stem}_disparity.png"),
                   _normalize(out["occlusion_filled"]))
@@ -174,6 +182,10 @@ def main(argv=None) -> int:
     if args.mesh and args.aggregation != "guided":
         print(f"error: --mesh only supports --aggregation guided, got "
               f"{args.aggregation!r}", file=sys.stderr)
+        return 2
+    if args.oracle and args.aggregation != "guided":
+        print("error: --oracle implements the reference (guided) pipeline "
+              "only; drop --aggregation box or --oracle", file=sys.stderr)
         return 2
     if cfg.fused is True and not args.oracle:
         import jax
@@ -272,8 +284,9 @@ def main(argv=None) -> int:
     write_png(os.path.join(args.out, "occlu_mapl.png"), _normalize(out["occlusion"]))
     write_png(os.path.join(args.out, "occlu_mapl_filled.png"), _normalize(out["occlusion_filled"]))
     if args.dump_intermediates and "gray_left" not in out:
-        print("note: --dump-intermediates is unavailable with --mesh "
-              "(the sharded pipeline returns final maps only)", file=sys.stderr)
+        print("note: --dump-intermediates intermediates are unavailable on "
+              "this path (--mesh returns final maps only; --aggregation box "
+              "has no guided-filter intermediates)", file=sys.stderr)
     if args.dump_intermediates and "gray_left" in out:
         write_png(os.path.join(args.out, "image_left.png"), np.asarray(out["gray_left"]))
         write_png(os.path.join(args.out, "image_right.png"), np.asarray(out["gray_right"]))

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .. import ops
 from ..config import StereoConfig, DEFAULT_CONFIG
 from ..ops.boxfilter import box_mean, window_area
-from ..ops.guided import _chunk_wta
+from ..ops.guided import BEST_COST_INIT
 from .base import StereoMatcher
 
 
@@ -26,13 +26,37 @@ from .base import StereoMatcher
 def box_stereo_pipeline(rgb_left, rgb_right, cfg: StereoConfig = DEFAULT_CONFIG) -> dict:
     gl = ops.rgb_to_grayscale(rgb_left, cfg)
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
-    area = window_area(gl.shape[0], gl.shape[1], cfg.radius)
+    h, w = gl.shape
+    area = window_area(h, w, cfg.radius)
 
     def view(g1, g2, dmin):
         cost = ops.cost_volume(g1, g2, dmin, cfg)
-        q = box_mean(cost, cfg.radius, area, exact=cfg.exact_integral)
-        best, sidx = _chunk_wta(q)
-        return best, (dmin + sidx).astype(jnp.float32)
+        size_d = cost.shape[0]
+        dc = cfg.d_chunk or size_d   # divides size_d (config validation)
+        if dc == size_d:
+            q = box_mean(cost, cfg.radius, area, exact=cfg.exact_integral)
+            best, sidx = ops.streaming_wta(q)
+            return best, (dmin + sidx).astype(jnp.float32)
+
+        # d-chunk streaming, same ascending `best >= q` carry as the
+        # guided path (bounds the filtered-volume intermediates)
+        chunks = cost.reshape(size_d // dc, dc, h, w)
+        starts = jnp.arange(size_d // dc, dtype=jnp.int32) * dc
+
+        def step(carry, xs):
+            best0, dmap0 = carry
+            chunk, start = xs
+            q = box_mean(chunk, cfg.radius, area, exact=cfg.exact_integral)
+            bestc, sidx = ops.streaming_wta(q)
+            upd = best0 >= bestc
+            return (jnp.where(upd, bestc, best0),
+                    jnp.where(upd, (dmin + start + sidx).astype(jnp.float32),
+                              dmap0)), None
+
+        init = (jnp.full((h, w), BEST_COST_INIT, dtype=jnp.float32),
+                jnp.zeros((h, w), dtype=jnp.float32))
+        (best, dmap), _ = jax.lax.scan(step, init, (chunks, starts))
+        return best, dmap
 
     best_l, dmap_l = view(gl, gr, cfg.d_min)
     best_r, dmap_r = view(gr, gl, cfg.d_min_right)

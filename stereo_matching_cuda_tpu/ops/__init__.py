@@ -16,10 +16,11 @@ reference CUDA kernel (see each docstring's file:line citations into
 from .image import rgb_to_grayscale, fl_to_ch, x_derivative
 from .boxfilter import integral_image, box_mean, window_area
 from .cost import cost_volume
-from .guided import guided_filter_wta, BEST_COST_INIT
+from .guided import guided_filter_wta, streaming_wta, BEST_COST_INIT
 from .occlusion import detect_occlusion, fill_occlusion
 
 __all__ = [
+    "streaming_wta",
     "rgb_to_grayscale",
     "fl_to_ch",
     "x_derivative",

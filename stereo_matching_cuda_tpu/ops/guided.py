@@ -90,13 +90,17 @@ def _chunk_filter(I, mean_i, c, area, cost_chunk, radius, exact=False):
     return strict_mul(bm(a), I[None]) + bm(b)
 
 
-def _chunk_wta(q: jax.Array):
+def streaming_wta(q: jax.Array):
     """(Dc,H,W) → (best, sidx): running min with LAST-wins ties
-    (ascending-d streaming with `>=`, guidedFilter.cu:403-411)."""
+    (ascending-d streaming with `>=`, guidedFilter.cu:403-411).  Public:
+    this is THE WTA tie rule, shared by every aggregation model."""
     dc = q.shape[0]
     best = jnp.min(q, axis=0)
     sidx = (dc - 1) - jnp.argmin(q[::-1], axis=0)
     return best, sidx
+
+
+_chunk_wta = streaming_wta   # internal alias (historical name)
 
 
 def guided_filter_wta(

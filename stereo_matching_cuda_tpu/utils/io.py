@@ -113,6 +113,11 @@ def read_png(path: str) -> np.ndarray:
 
 def write_png(path: str, img: np.ndarray) -> None:
     img = np.asarray(img)
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError(
+            f"write_png needs uint8 or uint16 input, got {img.dtype} "
+            "(normalize/convert explicitly — silent modulo-256 wrapping "
+            "corrupts float maps)")
     if img.dtype == np.uint16:
         lib = _load_native()
         if lib is not None and img.ndim == 2:
@@ -167,11 +172,11 @@ def write_mat_normalize(mat: np.ndarray) -> np.ndarray:
     """Native write_mat min-max normalizer (main.cu:13-35); falls back
     to the NumPy oracle implementation."""
     lib = _load_native()
-    flat = np.ascontiguousarray(mat, dtype=np.float32).reshape(-1)
     if lib is None:
         from .. import reference as R
 
         return R.write_mat_normalize(mat)
+    flat = np.ascontiguousarray(mat, dtype=np.float32).reshape(-1)
     out = np.empty(flat.shape, dtype=np.uint8)
     lib.sio_write_mat_normalize(
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -34,7 +34,7 @@ def read_png(path: str) -> np.ndarray:
     palette = None
     trns = None
     w = h = bitdepth = color_type = interlace = None
-    while pos < len(data):
+    while pos + 8 <= len(data):   # truncated trailing chunk: stop
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         chunk = data[pos + 8 : pos + 8 + length]
@@ -59,7 +59,10 @@ def read_png(path: str) -> np.ndarray:
     if interlace != 0:
         raise NotImplementedError(f"{path}: interlaced PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"{path}: corrupt PNG data ({e})") from e
     bpp = channels * (bitdepth // 8)  # filter offset in bytes
     stride = w * bpp
     expected = h * (stride + 1)
@@ -113,8 +116,12 @@ def read_png(path: str) -> np.ndarray:
             raise ValueError(f"{path}: palette image without PLTE")
         rgb = palette[img[..., 0]]
         if trns is not None:
+            # tRNS may cover only the first palette entries (spec);
+            # clip BEFORE indexing (np.where evaluates both branches)
+            idx = img[..., 0]
+            safe = trns[np.minimum(idx, len(trns) - 1)]
             a = np.full((h, w, 1), 255, dtype=np.uint8)
-            a[..., 0] = np.where(img[..., 0] < len(trns), trns[img[..., 0]], 255)
+            a[..., 0] = np.where(idx < len(trns), safe, 255)
             return np.concatenate([rgb, a], axis=-1)
         return rgb
     if channels == 1:
@@ -126,8 +133,12 @@ def write_png(path: str, img: np.ndarray) -> None:
     """Writes uint8 (H,W) gray, (H,W,3) RGB, (H,W,4) RGBA; uint16
     arrays are written as 16-bit PNGs (gray or RGB)."""
     img = np.asarray(img)
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError(
+            f"write_png needs uint8 or uint16 input, got {img.dtype} "
+            "(normalize/convert explicitly — silent modulo-256 wrapping "
+            "corrupts float maps)")
     bitdepth = 16 if img.dtype == np.uint16 else 8
-    img = img.astype(np.uint16 if bitdepth == 16 else np.uint8)
     if img.ndim == 2:
         color_type, channels = 0, 1
         img = img[..., None]

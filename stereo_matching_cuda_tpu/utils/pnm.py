@@ -47,7 +47,9 @@ def read_pnm(path: str) -> np.ndarray:
         dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
         data = f.read(w * h * ch * dtype.itemsize)
     arr = np.frombuffer(data, dtype=dtype, count=w * h * ch)
-    arr = arr.astype(np.uint16) if maxval > 255 else arr
+    # astype/copy: frombuffer views are read-only; every reader in the
+    # package returns writable arrays
+    arr = arr.astype(np.uint16) if maxval > 255 else arr.copy()
     arr = arr.reshape(h, w, ch)
     return arr[..., 0] if ch == 1 else arr
 

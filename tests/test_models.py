@@ -59,3 +59,24 @@ def test_models_share_interface(small_pair):
         out = cls(CFG).compute(left, right)
         assert out["disparity_left"].shape == left.shape[:2]
         assert out["occlusion_filled"].dtype == np.float32
+
+
+def test_box_d_chunk_streaming_matches_unchunked(small_pair):
+    """cfg.d_chunk (documented: bounds peak HBM) must be honored by the
+    box model too — the chunked ascending `best >= q` scan reproduces
+    the unchunked WTA bit-for-bit."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG as CFG
+    from stereo_matching_cuda_tpu.models.box import box_stereo_pipeline
+
+    left, right = small_pair
+    base = box_stereo_pipeline(jnp.asarray(left), jnp.asarray(right), CFG)
+    cfg_c = dataclasses.replace(CFG, d_chunk=4)
+    got = box_stereo_pipeline(jnp.asarray(left), jnp.asarray(right), cfg_c)
+    for k in ["disparity_left", "disparity_right", "best_cost_left",
+              "occlusion_filled"]:
+        np.testing.assert_array_equal(
+            np.asarray(base[k]), np.asarray(got[k]), err_msg=k)
