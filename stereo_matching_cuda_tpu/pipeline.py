@@ -79,6 +79,7 @@ def stereo_pipeline(
     with ``full_outputs`` also the intermediates the reference writes as
     PNGs (gray, mean, best_cost, cost slice 0) — main.cu:162-181.
     """
+    cfg = effective_config(cfg, rgb_left.shape[0], rgb_left.shape[1])
     gl = ops.rgb_to_grayscale(rgb_left, cfg)
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
     best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, c0_l, c0_r = _match(
@@ -106,6 +107,31 @@ def stereo_pipeline(
 # the stages alone compile in ~153 s — BENCH.md); the pipeline then
 # runs the stages as separate executables chained at the Python level.
 _STAGED_PIXELS = 1 << 21
+
+# Big-frame kernel strategy: the analytic roofline flips from
+# VPU-bound at Tsukuba scale (dual unrolled kernel + mxu y-sums win)
+# to MXU-limited at multi-MP scale, where the fori-branch single-view
+# kernels afford far bigger tiles (scripts/roofline.py, BENCH.md).
+# When set (e.g. {"unroll_max": 8, "y_sum": "roll"}), frames at or
+# above _STAGED_PIXELS whose kernel knobs are all on auto/default get
+# these overrides.  None = keep the small-frame choice everywhere —
+# the fori strategy is measured-predicted but NOT yet hardware
+# validated (scripts/r2_6mp_fori.py); flip after the probe runs.
+_BIG_STRATEGY: dict | None = None
+
+
+def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
+    """Resolve the frame-size-dependent kernel strategy.  Only frames
+    >= _STAGED_PIXELS with every relevant knob still on its auto
+    default are rewritten; any explicit user choice wins."""
+    if (_BIG_STRATEGY and h * w >= _STAGED_PIXELS
+            and cfg.dual_view == "auto" and cfg.unroll_max is None
+            and cfg.y_sum is None and cfg.fused == "auto"
+            and not cfg.exact_integral):
+        import dataclasses
+
+        return dataclasses.replace(cfg, **_BIG_STRATEGY)
+    return cfg
 
 
 def use_staged_path(cfg: StereoConfig, h: int, w: int) -> bool:
@@ -144,6 +170,7 @@ def stereo_pipeline_staged(
     executable chained at the Python level (data dependencies serialize
     execution).  Identical outputs; pays inter-stage dispatch latency,
     avoids the composed-module compile pathology at bike scale."""
+    cfg = effective_config(cfg, rgb_left.shape[0], rgb_left.shape[1])
     gl = _gray_stage(jnp.asarray(rgb_left), cfg)
     gr = _gray_stage(jnp.asarray(rgb_right), cfg)
     best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, c0_l, c0_r = (

@@ -163,3 +163,24 @@ def test_use_staged_path_heuristic():
     assert not use_staged_path(dataclasses.replace(CFG, staged=False), 4000, 4000)
     # auto: big frames only on the TPU backend (tests run on CPU)
     assert not use_staged_path(CFG, 288, 384)
+
+
+def test_effective_config_big_frame_strategy(monkeypatch):
+    """The big-frame strategy rewrite applies only above the staged
+    threshold and only when every kernel knob is still on auto; any
+    explicit user choice wins.  Inert while _BIG_STRATEGY is None."""
+    from stereo_matching_cuda_tpu import pipeline as P
+
+    assert P.effective_config(CFG, 288, 384) is CFG          # small
+    assert P.effective_config(CFG, 1992, 3008) is CFG        # None = inert
+
+    monkeypatch.setattr(P, "_BIG_STRATEGY", {"unroll_max": 8, "y_sum": "roll"})
+    assert P.effective_config(CFG, 288, 384) is CFG          # small frame
+    big = P.effective_config(CFG, 1992, 3008)
+    assert big.unroll_max == 8 and big.y_sum == "roll"
+    # explicit user knobs are never overridden
+    for user in [dataclasses.replace(CFG, y_sum="mxu"),
+                 dataclasses.replace(CFG, unroll_max=16),
+                 dataclasses.replace(CFG, dual_view=True),
+                 dataclasses.replace(CFG, exact_integral=True)]:
+        assert P.effective_config(user, 1992, 3008) is user
