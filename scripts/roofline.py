@@ -159,9 +159,15 @@ if __name__ == "__main__":
     roofline(1992, 3008, cfg, "6 MP dual kernel (default tiles)")
     roofline(1992, 3008, cfg, "6 MP dual kernel sh=128", force_sh=128)
     c128 = dataclasses.replace(cfg, d_min=-127, d_max=0)
-    roofline(1988, 2948, c128, "3 MP 128-disp kernel (default tiles)")
+    roofline(1988, 2948, c128, "3 MP 128-disp kernel (old 45-buffer tiles)",
+             single_view=True, restricted=True, n_live=45)
     c128v = dataclasses.replace(c128, vmem_mb=32)
-    roofline(1988, 2948, c128v, "3 MP 128-disp kernel (vmem 32)")
+    roofline(1988, 2948, c128v, "3 MP 128-disp (old tiles, vmem 32)",
+             single_view=True, restricted=True, n_live=45)
+    roofline(1988, 2948, c128, "3 MP 128-disp, fori-estimate tiles",
+             single_view=True, restricted=True, n_live=_n_live(c128))
+    roofline(1988, 2948, c128v, "3 MP 128-disp, fori tiles, vmem 32",
+             single_view=True, restricted=True, n_live=_n_live(c128v))
 
     # --- 6 MP single-view fori-loop candidates (x2 per frame): the
     # fori branch keeps far fewer ext tiles live than the unrolled
