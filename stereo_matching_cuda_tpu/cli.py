@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused-kernel d-loop unroll threshold; ranges wider "
                         "than this run the fori-loop kernel variant "
                         "(bigger tiles, faster compile — BENCH.md)")
+    p.add_argument("--sw-pipeline", choices=["on", "off"], default=None,
+                   help="dual-view kernel software pipelining (bit-exact "
+                        "emission reorder for VPU/MXU overlap; default: "
+                        "module default)")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",
@@ -170,6 +174,8 @@ def main(argv=None) -> int:
             staged=tristate[args.staged],
             y_sum=args.y_sum, vmem_mb=args.vmem_mb,
             slice_group=args.slice_group, unroll_max=args.unroll_max,
+            sw_pipeline=None if args.sw_pipeline is None
+            else args.sw_pipeline == "on",
         )
     except ValueError as e:   # config validation (config.py __post_init__)
         print(f"error: {e}", file=sys.stderr)

@@ -105,6 +105,15 @@ class StereoConfig:
     # (fewer programs, less per-program fixed cost and halo recompute)
     # at the cost of a larger working set.
     vmem_mb: Optional[int] = None
+    # Dual-view kernel software pipelining: skew the unrolled d-loop so
+    # each y-sum matmul is issued before the PREVIOUS slice's results
+    # are consumed (next slice's cost/x-sum VPU work and the deferred
+    # WTA update sit between issue and use), giving Mosaic's scheduler
+    # independent VPU work to overlap with the in-flight MXU op.
+    # Bit-exact: the per-slice math and the ascending WTA update order
+    # are unchanged — only the emission order moves.  None = the
+    # module default (hardware-measured winner), True/False force.
+    sw_pipeline: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -142,6 +151,10 @@ class StereoConfig:
         if self.vmem_mb is not None and not (4 <= self.vmem_mb <= 128):
             raise ValueError(
                 f"vmem_mb must be in [4, 128] MiB, got {self.vmem_mb}")
+        if self.sw_pipeline not in (None, True, False):
+            raise ValueError(
+                f"sw_pipeline must be None, True or False, "
+                f"got {self.sw_pipeline!r}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

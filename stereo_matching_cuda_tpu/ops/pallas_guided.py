@@ -645,6 +645,45 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         best_r = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
         dmap_r = jnp.zeros((sh, tw), jnp.float32)
 
+        def raw_costs(d):
+            """Slice d's truncated AD+gradient cost for BOTH views —
+            pure VPU work, independent of every other slice."""
+            I2s = _shift_x_vmem(I2, d)
+            d2s = _shift_x_vmem(der2, d)
+            raw = (one - alpha) * jnp.minimum(
+                jnp.abs(I1 - I2s), th_color) + (
+                alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
+            # left view, label d ascending
+            valid_l = (gx + d >= 0) & (gx + d < W)
+            cost_l = jnp.where(in_img, jnp.where(valid_l, raw, oob), 0.0)
+            # right view, label -d descending: raw_r(x) = raw(x - d)
+            raw_r = _roll(raw, d, 1)
+            valid_r = (gx - d >= 0) & (gx - d < W)
+            cost_r = jnp.where(in_img, jnp.where(valid_r, raw_r, oob), 0.0)
+            return cost_l, I1 * cost_l, cost_r, I2 * cost_r
+
+        def coeffs(sums1):
+            """Guided a/b for both views from one slice's phase-1 means,
+            masked for the phase-2 box sums."""
+            mp_l, mip_l, mp_r, mip_r = sums1
+            a_l = (mip_l - mean_i1 * mp_l) * c1
+            b_l = mp_l - mean_i1 * a_l
+            a_r = (mip_r - mean_i2 * mp_r) * c2
+            b_r = mp_r - mean_i2 * a_r
+            return [jnp.where(in_img, t, 0.0) for t in (a_l, b_l, a_r, b_r)]
+
+        def wta(d, sums2, best_l, dmap_l, best_r, dmap_r):
+            ma_l, mb_l, ma_r, mb_r = sums2
+            q = crop(ma_l) * I1c + crop(mb_l)
+            upd = best_l >= q
+            best_l = jnp.where(upd, q, best_l)
+            dmap_l = jnp.where(upd, np.float32(d), dmap_l)
+            q = crop(ma_r) * I2c + crop(mb_r)
+            upd = best_r > q
+            best_r = jnp.where(upd, q, best_r)
+            dmap_r = jnp.where(upd, np.float32(-d), dmap_r)
+            return best_l, dmap_l, best_r, dmap_r
+
         # Disparity slices are processed in groups of G: each guided
         # phase's y-sum matmuls for the WHOLE group ride one
         # lane-concatenated band matmul (bit-exact — matmul columns are
@@ -652,46 +691,57 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         # trades VMEM (4G ext operands live per phase) for fewer,
         # wider MXU ops.
         G = max(1, cfg.slice_group or _SLICE_GROUP)
-        for g0 in range(0, size_d, G):
-            ds = [dmin + s for s in range(g0, min(g0 + G, size_d))]
-            phase1 = []
-            for d in ds:
-                I2s = _shift_x_vmem(I2, d)
-                d2s = _shift_x_vmem(der2, d)
-                raw = (one - alpha) * jnp.minimum(
-                    jnp.abs(I1 - I2s), th_color) + (
-                    alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
-                # left view, label d ascending
-                valid_l = (gx + d >= 0) & (gx + d < W)
-                cost_l = jnp.where(in_img, jnp.where(valid_l, raw, oob), 0.0)
-                # right view, label -d descending: raw_r(x) = raw(x - d)
-                raw_r = _roll(raw, d, 1)
-                valid_r = (gx - d >= 0) & (gx - d < W)
-                cost_r = jnp.where(in_img, jnp.where(valid_r, raw_r, oob), 0.0)
-                phase1 += [cost_l, I1 * cost_l, cost_r, I2 * cost_r]
-            sums1 = boxms(*phase1)
-            phase2 = []
-            for i in range(len(ds)):
-                mp_l, mip_l, mp_r, mip_r = sums1[4 * i : 4 * i + 4]
-                a_l = (mip_l - mean_i1 * mp_l) * c1
-                b_l = mp_l - mean_i1 * a_l
-                a_r = (mip_r - mean_i2 * mp_r) * c2
-                b_r = mp_r - mean_i2 * a_r
-                phase2 += [jnp.where(in_img, a_l, 0.0),
-                           jnp.where(in_img, b_l, 0.0),
-                           jnp.where(in_img, a_r, 0.0),
-                           jnp.where(in_img, b_r, 0.0)]
-            sums2 = boxms(*phase2)
-            for i, d in enumerate(ds):
-                ma_l, mb_l, ma_r, mb_r = sums2[4 * i : 4 * i + 4]
-                q = crop(ma_l) * I1c + crop(mb_l)
-                upd = best_l >= q
-                best_l = jnp.where(upd, q, best_l)
-                dmap_l = jnp.where(upd, np.float32(d), dmap_l)
-                q = crop(ma_r) * I2c + crop(mb_r)
-                upd = best_r > q
-                best_r = jnp.where(upd, q, best_r)
-                dmap_r = jnp.where(upd, np.float32(-d), dmap_r)
+        pipelined = (cfg.sw_pipeline if cfg.sw_pipeline is not None
+                     else _SW_PIPELINE) and G == 1
+        if pipelined:
+            # Software-pipelined emission (bit-exact — identical math,
+            # ascending WTA order; only the trace order moves): each
+            # y-sum matmul is issued with independent VPU work between
+            # it and its consumers — the NEXT slice's cost/x-sums after
+            # the phase-1 matmul, and the next slice's phase-1 matmul +
+            # deferred WTA after the phase-2 matmul — so Mosaic's
+            # scheduler can overlap the in-flight MXU op with VPU work
+            # instead of serializing the phases (BENCH.md roofline).
+            impl = cfg.y_sum or _Y_SUM_IMPL
+            k = 2 * r + 1
+            xsum = lambda x: _roll(_forward_window_sum(x, k, 1), r, 1)
+
+            def ysum(sxs):
+                if impl == "roll":
+                    return [_roll(_forward_window_sum(sx, k, 0), r, 0)
+                            * inv_area for sx in sxs]
+                return [o * inv_area
+                        for o in _y_matmul_many(impl, my, sxs, w_ext)]
+
+            sx1 = [xsum(t) for t in raw_costs(dmin)]
+            pend = None          # (d, sums2) with the WTA update deferred
+            for s in range(size_d):
+                d = dmin + s
+                sums1 = ysum(sx1)                  # MXU: phase-1 means
+                if s + 1 < size_d:
+                    sx1 = [xsum(t) for t in raw_costs(d + 1)]
+                if pend is not None:
+                    best_l, dmap_l, best_r, dmap_r = wta(
+                        *pend, best_l, dmap_l, best_r, dmap_r)
+                sums2 = ysum([xsum(t) for t in coeffs(sums1)])  # MXU
+                pend = (d, sums2)
+            best_l, dmap_l, best_r, dmap_r = wta(
+                *pend, best_l, dmap_l, best_r, dmap_r)
+        else:
+            for g0 in range(0, size_d, G):
+                ds = [dmin + s for s in range(g0, min(g0 + G, size_d))]
+                phase1 = []
+                for d in ds:
+                    phase1 += list(raw_costs(d))
+                sums1 = boxms(*phase1)
+                phase2 = []
+                for i in range(len(ds)):
+                    phase2 += coeffs(sums1[4 * i : 4 * i + 4])
+                sums2 = boxms(*phase2)
+                for i, d in enumerate(ds):
+                    best_l, dmap_l, best_r, dmap_r = wta(
+                        d, sums2[4 * i : 4 * i + 4],
+                        best_l, dmap_l, best_r, dmap_r)
 
         best_l_ref[0] = best_l
         dmap_l_ref[0] = dmap_l
@@ -705,6 +755,10 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
 # override for benching.
 _SLICE_GROUP = int(os.environ.get("STEREO_SLICE_GROUP", "1"))
 
+# Dual-kernel software-pipelining default (see StereoConfig.sw_pipeline);
+# env override for benching.
+_SW_PIPELINE = os.environ.get("STEREO_SW_PIPELINE", "0") == "1"
+
 # VMEM live-buffer estimate for the dual kernel's unrolled loop (two
 # guided chains per slice; calibrated on hardware — see BENCH.md)
 _DUAL_N_LIVE = 70
@@ -713,9 +767,15 @@ _DUAL_N_LIVE = 70
 def _dual_n_live(cfg: StereoConfig) -> int:
     """Grouping G slices keeps the group's 4G x-sum operands, the
     lane-concatenated matmul input and its product live together —
-    roughly 12 extra ext-tile f32 buffers per slice beyond the first."""
+    roughly 12 extra ext-tile f32 buffers per slice beyond the first.
+    The software pipeline additionally keeps the next slice's 4 x-sums
+    and the previous slice's 4 deferred phase-2 means live across the
+    skewed iteration."""
     g = max(1, cfg.slice_group or _SLICE_GROUP)
-    return max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20) + 12 * (g - 1)
+    n = max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20) + 12 * (g - 1)
+    if (cfg.sw_pipeline if cfg.sw_pipeline is not None else _SW_PIPELINE):
+        n += 10
+    return n
 
 # Per-y-sum-impl live-buffer estimates for the single-view kernel.
 # "roll" keeps the log-doubling y-partials live through the unrolled

@@ -288,6 +288,27 @@ def test_dual_view_slice_groups_bit_identical(group):
                                       err_msg=f"slice_group={group}: {name}")
 
 
+@pytest.mark.parametrize("y_sum", [None, "roll"])
+def test_dual_view_sw_pipeline_bit_identical(y_sum):
+    """The software-pipelined dual kernel reorders EMISSION only (next
+    slice's cost/x-sums between each y-sum matmul and its consumers,
+    WTA updates deferred one slice): the per-slice math and ascending
+    update order are unchanged, so outputs must match the unpipelined
+    kernel bit-for-bit."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
+
+    g1, g2 = _pair(48, 130, seed=11)
+    cfg0 = dataclasses.replace(CFG, sw_pipeline=False, y_sum=y_sum)
+    cfg1 = dataclasses.replace(CFG, sw_pipeline=True, y_sum=y_sum)
+    base = guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg0)
+    got = guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg1)
+    for a, b, name in zip(base, got, ["best_l", "dmap_l", "best_r", "dmap_r"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"sw_pipeline: {name}")
+
+
 def test_dual_view_x_tiled_matches_oracle(monkeypatch):
     """Force (16, 256) tiles on a 64x600 frame (nx=3): the rolled
     right-view slice must stay seamless across x-tile boundaries."""
