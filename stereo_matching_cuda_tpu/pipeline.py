@@ -112,19 +112,25 @@ _STAGED_PIXELS = 1 << 21
 # VPU-bound at Tsukuba scale (dual unrolled kernel + mxu y-sums win)
 # to MXU-limited at multi-MP scale, where the fori-branch single-view
 # kernels afford far bigger tiles (scripts/roofline.py, BENCH.md).
-# When set (e.g. {"unroll_max": 8, "y_sum": "roll"}), frames at or
-# above _STAGED_PIXELS whose kernel knobs are all on auto/default get
-# these overrides.  None = keep the small-frame choice everywhere —
-# the fori strategy is measured-predicted but NOT yet hardware
-# validated (scripts/r2_6mp_fori.py); flip after the probe runs.
-_BIG_STRATEGY: dict | None = None
+# Hardware-validated (scripts/r2_6mp_fori.py, r2_3mp_decider.py):
+# single-view fori + roll y-sums beats the dual unrolled kernel at
+# every probed big-frame size — 2.1 MP 10.3 vs 11.8, 3 MP 12.5 vs
+# 18.0, 6 MP 24.3 vs 31.8 ms/frame — so frames at or above
+# _STAGED_PIXELS whose kernel knobs are all on auto/default get these
+# overrides.  Only applies where the dual kernel would otherwise run
+# (size_d within the default unroll threshold); wide-D configs already
+# run the fori branch with the measured band-restricted mxu default.
+_BIG_STRATEGY: dict | None = {"unroll_max": 8, "y_sum": "roll"}
 
 
 def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     """Resolve the frame-size-dependent kernel strategy.  Only frames
     >= _STAGED_PIXELS with every relevant knob still on its auto
     default are rewritten; any explicit user choice wins."""
+    from .ops.pallas_guided import unroll_max
+
     if (_BIG_STRATEGY and h * w >= _STAGED_PIXELS
+            and cfg.size_d <= unroll_max(cfg)
             and cfg.dual_view == "auto" and cfg.unroll_max is None
             and cfg.y_sum is None and cfg.fused == "auto"
             and not cfg.exact_integral):

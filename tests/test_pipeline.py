@@ -171,6 +171,7 @@ def test_effective_config_big_frame_strategy(monkeypatch):
     explicit user choice wins.  Inert while _BIG_STRATEGY is None."""
     from stereo_matching_cuda_tpu import pipeline as P
 
+    monkeypatch.setattr(P, "_BIG_STRATEGY", None)
     assert P.effective_config(CFG, 288, 384) is CFG          # small
     assert P.effective_config(CFG, 1992, 3008) is CFG        # None = inert
 
@@ -184,3 +185,16 @@ def test_effective_config_big_frame_strategy(monkeypatch):
                  dataclasses.replace(CFG, dual_view=True),
                  dataclasses.replace(CFG, exact_integral=True)]:
         assert P.effective_config(user, 1992, 3008) is user
+
+
+def test_effective_config_big_frame_default_live():
+    """The hardware-validated default (fori + roll y-sums for 16-d
+    big frames — BENCH.md) is LIVE: a 6 MP default-config frame gets
+    the overrides, while wide-D configs (already on the fori branch
+    with the measured band-restricted mxu default) are untouched."""
+    from stereo_matching_cuda_tpu import pipeline as P
+
+    big = P.effective_config(CFG, 1992, 3008)
+    assert big.unroll_max == 8 and big.y_sum == "roll"
+    wide = dataclasses.replace(CFG, d_min=-127, d_max=0)
+    assert P.effective_config(wide, 1992, 3008) is wide
