@@ -155,6 +155,25 @@ def _run_sequence(args, cfg) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA/Mosaic compile cache for repeat CLI runs (fused
+    TPU kernels take minutes to compile; cached reloads are seconds).
+    Override the location with STEREO_COMPILE_CACHE_DIR; disable with
+    STEREO_COMPILE_CACHE_DIR= (empty)."""
+    d = os.environ.get(
+        "STEREO_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "stereo_jax"))
+    if not d:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass   # cache is an optimization; never fail the run over it
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     tristate = {"auto": "auto", "on": True, "off": False}
@@ -201,6 +220,8 @@ def main(argv=None) -> int:
                   "kernel does not compile on CPU); use --fused auto",
                   file=sys.stderr)
             return 2
+    if not args.oracle:
+        _enable_compile_cache()
     if args.eval:
         from .evaluate import evaluate_dataset
 
