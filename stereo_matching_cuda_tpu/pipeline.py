@@ -112,24 +112,34 @@ _STAGED_PIXELS = 1 << 21
 # VPU-bound at Tsukuba scale (dual unrolled kernel + mxu y-sums win)
 # to MXU-limited at multi-MP scale, where the fori-branch single-view
 # kernels afford far bigger tiles (scripts/roofline.py, BENCH.md).
-# Hardware-validated (scripts/r2_6mp_fori.py, r2_3mp_decider.py):
+# Hardware-validated (scripts/r2_6mp_fori.py, r2_3mp_decider.py,
+# r2_midsize_decider.py, r2_small_decider.py, r2_1mp_band.py):
 # single-view fori + roll y-sums beats the dual unrolled kernel at
-# every probed big-frame size — 2.1 MP 10.3 vs 11.8, 3 MP 12.5 vs
-# 18.0, 6 MP 24.3 vs 31.8 ms/frame — so frames at or above
-# _STAGED_PIXELS whose kernel knobs are all on auto/default get these
-# overrides.  Only applies where the dual kernel would otherwise run
-# (size_d within the default unroll threshold); wide-D configs already
-# run the fori branch with the measured band-restricted mxu default.
+# every probed size above Tsukuba scale — 0.25 MP 1.07 vs 1.95,
+# 0.5 MP 2.51 vs 3.58, 0.98 MP 4.61 vs 5.92, 1.5 MP 6.08 vs 7.90,
+# 2.1 MP 10.3 vs 11.8, 3 MP 12.5 vs 18.0, 6 MP 24.3 vs 31.8 ms/frame
+# (one 896×1152 shape measured a noise-level dual win, 5.23 vs 5.36)
+# — while the dual unrolled kernel stays the clear winner at Tsukuba
+# (0.649 vs 1.092).  Frames at or above _STRATEGY_PIXELS whose kernel
+# knobs are all on auto/default get these overrides.  Only applies
+# where the dual kernel would otherwise run (size_d within the unroll
+# threshold); wide-D configs already run the fori branch with the
+# measured band-restricted mxu default.
 _BIG_STRATEGY: dict | None = {"unroll_max": 8, "y_sum": "roll"}
+
+# Area gate for _BIG_STRATEGY: between Tsukuba (110,592 px, dual wins
+# 0.649 vs 1.092) and the smallest probed fori win (512×512 =
+# 262,144 px, 1.07 vs 1.95).
+_STRATEGY_PIXELS = 200_000
 
 
 def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     """Resolve the frame-size-dependent kernel strategy.  Only frames
-    >= _STAGED_PIXELS with every relevant knob still on its auto
+    >= _STRATEGY_PIXELS with every relevant knob still on its auto
     default are rewritten; any explicit user choice wins."""
     from .ops.pallas_guided import unroll_max
 
-    if (_BIG_STRATEGY and h * w >= _STAGED_PIXELS
+    if (_BIG_STRATEGY and h * w >= _STRATEGY_PIXELS
             and cfg.size_d <= unroll_max(cfg)
             and cfg.dual_view == "auto" and cfg.unroll_max is None
             and cfg.y_sum is None and cfg.fused == "auto"

@@ -198,3 +198,6 @@ def test_effective_config_big_frame_default_live():
     assert big.unroll_max == 8 and big.y_sum == "roll"
     wide = dataclasses.replace(CFG, d_min=-127, d_max=0)
     assert P.effective_config(wide, 1992, 3008) is wide
+    # gate sits between Tsukuba (dual wins) and 512x512 (fori wins)
+    assert P.effective_config(CFG, 288, 384) is CFG
+    assert P.effective_config(CFG, 512, 512).y_sum == "roll"
