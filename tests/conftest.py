@@ -36,6 +36,22 @@ import pytest
 REFERENCE_DATA = "/root/reference/stereo_matching_cuda/data"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    XLA:CPU aborts/segfaults nondeterministically inside a LATER
+    module's compile once enough jitted executables from earlier
+    modules accumulate in the process (reproduced deterministically
+    with cost_guided + pallas_fused + pipeline; the crash lands in
+    backend_compile_and_load with no Python frames of ours on the
+    stack — a compiler resource bug, not a semantics issue).  Clearing
+    the caches at module boundaries keeps per-module compile sets
+    bounded; shared fixtures are plain numpy, so nothing breaks."""
+    yield
+    jax.clear_caches()
+
+
 def _has_reference() -> bool:
     return os.path.isdir(REFERENCE_DATA)
 
