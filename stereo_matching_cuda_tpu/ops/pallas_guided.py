@@ -673,15 +673,17 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
             return [jnp.where(in_img, t, 0.0) for t in (a_l, b_l, a_r, b_r)]
 
         def wta(d, sums2, best_l, dmap_l, best_r, dmap_r):
+            # d may be a compile-time int (unrolled branch) or a traced
+            # loop index (fori branch) — asarray handles both
             ma_l, mb_l, ma_r, mb_r = sums2
             q = crop(ma_l) * I1c + crop(mb_l)
             upd = best_l >= q
             best_l = jnp.where(upd, q, best_l)
-            dmap_l = jnp.where(upd, np.float32(d), dmap_l)
+            dmap_l = jnp.where(upd, jnp.asarray(d, jnp.float32), dmap_l)
             q = crop(ma_r) * I2c + crop(mb_r)
             upd = best_r > q
             best_r = jnp.where(upd, q, best_r)
-            dmap_r = jnp.where(upd, np.float32(-d), dmap_r)
+            dmap_r = jnp.where(upd, jnp.asarray(-d, jnp.float32), dmap_r)
             return best_l, dmap_l, best_r, dmap_r
 
         # Disparity slices are processed in groups of G: each guided
@@ -693,7 +695,47 @@ def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
         G = max(1, cfg.slice_group or _SLICE_GROUP)
         pipelined = (cfg.sw_pipeline if cfg.sw_pipeline is not None
                      else _SW_PIPELINE) and G == 1
-        if pipelined:
+        if size_d > unroll_max(cfg):
+            # Wide-range fori branch (slice_group/sw_pipeline are
+            # unrolled-emission knobs and do not apply): the loop
+            # carries incrementally-rolled match images for BOTH views.
+            # The shared rolled raw slice of the unrolled branch needs a
+            # dynamic roll by the loop index, so the right view instead
+            # recomputes its raw cost from the counter-rolled LEFT image
+            # — raw_r(x) = raw(x-d) = F(I1(x-d), I2(x)) — the identical
+            # elementary float ops on the identical operand values
+            # (bit-exact vs the unrolled branch), with every per-
+            # iteration shift a static ±1 column roll.
+            def body(s, carry):
+                I2s, d2s, I1s, d1s, best_l, dmap_l, best_r, dmap_r = carry
+                d = dmin + s
+                raw_l = (one - alpha) * jnp.minimum(
+                    jnp.abs(I1 - I2s), th_color) + (
+                    alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
+                valid_l = (gx + d >= 0) & (gx + d < W)
+                cost_l = jnp.where(in_img, jnp.where(valid_l, raw_l, oob),
+                                   0.0)
+                raw_r = (one - alpha) * jnp.minimum(
+                    jnp.abs(I1s - I2), th_color) + (
+                    alpha * jnp.minimum(jnp.abs(d1s - der2), th_grad))
+                valid_r = (gx - d >= 0) & (gx - d < W)
+                cost_r = jnp.where(in_img, jnp.where(valid_r, raw_r, oob),
+                                   0.0)
+                sums1 = boxms(cost_l, I1 * cost_l, cost_r, I2 * cost_r)
+                sums2 = boxms(*coeffs(sums1))
+                best_l, dmap_l, best_r, dmap_r = wta(
+                    d, sums2, best_l, dmap_l, best_r, dmap_r)
+                return (_shift_x_vmem(I2s, 1), _shift_x_vmem(d2s, 1),
+                        _shift_x_vmem(I1s, -1), _shift_x_vmem(d1s, -1),
+                        best_l, dmap_l, best_r, dmap_r)
+
+            carry = jax.lax.fori_loop(
+                0, size_d, body,
+                (_shift_x_vmem(I2, dmin), _shift_x_vmem(der2, dmin),
+                 _shift_x_vmem(I1, -dmin), _shift_x_vmem(der1, -dmin),
+                 best_l, dmap_l, best_r, dmap_r))
+            best_l, dmap_l, best_r, dmap_r = carry[4:]
+        elif pipelined:
             # Software-pipelined emission (bit-exact — identical math,
             # ascending WTA order; only the trace order moves): each
             # y-sum matmul is issued with independent VPU work between
@@ -764,13 +806,24 @@ _SW_PIPELINE = os.environ.get("STEREO_SW_PIPELINE", "0") == "1"
 _DUAL_N_LIVE = 70
 
 
+# Dual-kernel fori-branch estimates: 4 loop-carried ext images + the
+# shared base buffers + ONE slice's two-view temporaries — far below
+# the unrolled branch's 70, so the fori dual affords the big tiles
+# that made the single-view fori win big frames (BENCH.md).
+_DUAL_N_LIVE_FORI = {"mxu": 46, "mxu3": 46, "mxu2": 46, "roll": 50}
+
+
 def _dual_n_live(cfg: StereoConfig) -> int:
     """Grouping G slices keeps the group's 4G x-sum operands, the
     lane-concatenated matmul input and its product live together —
     roughly 12 extra ext-tile f32 buffers per slice beyond the first.
     The software pipeline additionally keeps the next slice's 4 x-sums
     and the previous slice's 4 deferred phase-2 means live across the
-    skewed iteration."""
+    skewed iteration.  The fori branch (size_d > unroll_max) keeps only
+    the loop-carried state plus one slice's temporaries live."""
+    if cfg.size_d > unroll_max(cfg):
+        impl = cfg.y_sum or _Y_SUM_IMPL
+        return _DUAL_N_LIVE_FORI.get(impl, 50)
     g = max(1, cfg.slice_group or _SLICE_GROUP)
     n = max(_DUAL_N_LIVE, 2 * _n_live(cfg) - 20) + 12 * (g - 1)
     if (cfg.sw_pipeline if cfg.sw_pipeline is not None else _SW_PIPELINE):
@@ -838,14 +891,10 @@ def guided_wta_fused_dual(
     One kernel pass computes BOTH views (shared DMA, derivatives and
     raw cost slices) — the frame's whole matching stage in one Mosaic
     program.  A leading frame axis ((B,H,W) inputs) runs the whole
-    batch in one grid.  Only for size_d <= unroll_max(cfg) (the
-    wide-range fori_loop variant cannot roll the shared slice by a
-    loop-carried d); callers fall back to two guided_wta_fused calls
-    beyond."""
-    if cfg.size_d > unroll_max(cfg):
-        raise ValueError(
-            f"dual-view kernel requires size_d <= {unroll_max(cfg)}, got "
-            f"{cfg.size_d}; use guided_wta_fused per view")
+    batch in one grid.  size_d > unroll_max(cfg) takes the kernel's
+    fori d-loop branch (loop-carried ±1-column rolls for both views;
+    the right view's raw cost recomputed from the counter-rolled left
+    image — bit-exact vs the unrolled emission)."""
     H, W = gray_l.shape[-2:]
     batched = gray_l.ndim == 3
     nb = gray_l.shape[0] if batched else 0

@@ -331,14 +331,46 @@ def test_dual_view_x_tiled_matches_oracle(monkeypatch):
         assert near_seam.sum() <= max(2, 0.2 * len(bad_cols)), name
 
 
-def test_dual_view_wide_range_rejected():
+def test_dual_view_wide_range_fori():
+    """size_d > unroll_max takes the dual kernel's fori d-loop branch
+    (loop-carried ±1 rolls for both views): both views must stay in the
+    fast-path accuracy class vs the oracle on a 64-disparity range."""
     from stereo_matching_cuda_tpu.config import StereoConfig
     from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused_dual
 
     cfg64 = StereoConfig(d_min=-63, d_max=0)
     g1, g2 = _pair(48, 160)
-    with pytest.raises(ValueError, match="dual-view"):
-        guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg64)
+    wd_l = R.guided_filter_wta(
+        g1, R.cost_volume(g1, g2, cfg64.d_min, cfg64), cfg64.d_min, cfg64)[1]
+    wd_r = R.guided_filter_wta(
+        g2, R.cost_volume(g2, g1, cfg64.d_min_right, cfg64),
+        cfg64.d_min_right, cfg64)[1]
+    _, dl, _, dr = guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg64)
+    for got, want, name in [(dl, wd_l, "left"), (dr, wd_r, "right")]:
+        mism = int((np.asarray(got) != want).sum())
+        assert mism <= max(4, want.size * 3e-3), f"{name}: {mism}/{want.size}"
+
+
+@pytest.mark.parametrize("y_sum", [None, "roll"])
+def test_dual_view_fori_bit_identical(y_sum, monkeypatch):
+    """The dual fori branch (forced via unroll_max=8 on the default
+    16-disparity range — the big-frame strategy shape) performs the
+    identical elementary float ops as the unrolled emission, so with
+    the tile geometry pinned the outputs must match bit-for-bit."""
+    import dataclasses
+
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    monkeypatch.setattr(pg, "_pick_tiles", lambda *a, **k: (16, 128))
+    g1, g2 = _pair(48, 130, seed=5)
+    cfg0 = dataclasses.replace(CFG, y_sum=y_sum)
+    cfg1 = dataclasses.replace(CFG, y_sum=y_sum, unroll_max=8)
+    assert CFG.size_d > 8
+    base = pg.guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg0)
+    got = pg.guided_wta_fused_dual(jnp.asarray(g1), jnp.asarray(g2), cfg1)
+    for a, b, name in zip(base, got, ["best_l", "dmap_l", "best_r", "dmap_r"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"dual fori: {name}")
 
 
 def test_fused_wide_range_fori_loop():
