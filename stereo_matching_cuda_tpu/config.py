@@ -105,14 +105,19 @@ class StereoConfig:
     # (fewer programs, less per-program fixed cost and halo recompute)
     # at the cost of a larger working set.
     vmem_mb: Optional[int] = None
-    # Dual-view kernel software pipelining: skew the unrolled d-loop so
-    # each y-sum matmul is issued before the PREVIOUS slice's results
-    # are consumed (next slice's cost/x-sum VPU work and the deferred
-    # WTA update sit between issue and use), giving Mosaic's scheduler
-    # independent VPU work to overlap with the in-flight MXU op.
-    # Bit-exact: the per-slice math and the ascending WTA update order
-    # are unchanged — only the emission order moves.  None = the
-    # module default (hardware-measured winner), True/False force.
+    # Fused-kernel software pipelining: skew the d-loop emission so
+    # each y-sum matmul has independent VPU work between issue and
+    # consumption.  Dual kernel, unrolled branch: next slice's
+    # cost/x-sums + a deferred WTA update.  Single-view kernel, fori
+    # branch (wide ranges / big-frame strategy): the loop carries the
+    # previous slice's phase-1 means, so each body holds two
+    # independent matmul groups (phase-1 of slice s, phase-2 of s-1)
+    # with the other's VPU work available to overlap.  The per-slice
+    # math and the ascending WTA update order are unchanged; the dual
+    # unrolled emission is bit-exact, the fori emission may move best
+    # costs ~1 ULP via FMA contraction (near-ties can flip — the
+    # fast-path accuracy class, tested bounded).  None = the module
+    # default (hardware-measured winner), True/False force.
     sw_pipeline: Optional[bool] = None
 
     # ------------------------------------------------------------------

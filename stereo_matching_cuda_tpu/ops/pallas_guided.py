@@ -385,13 +385,18 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
         crop = lambda t: t[halo_y : halo_y + sh, px : px + tw]
         cropx = lambda t: t[:, px : px + tw]
 
-        def slice_update(s, I2s, d2s, best, dmap):
+        def slice_phase1(s, I2s, d2s):
+            """Slice s's raw cost (VPU) and phase-1 box means."""
             d = dmin + s                      # runtime label
             valid = (gx + d >= 0) & (gx + d < W)
             cost = (one - alpha) * jnp.minimum(jnp.abs(I1 - I2s), th_color) + (
                 alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
             cost = jnp.where(in_img, jnp.where(valid, cost, oob), 0.0)
-            mean_p, mean_ip = boxm_mid(cost, I1 * cost)
+            return boxm_mid(cost, I1 * cost)
+
+        def slice_phase2(s, mean_p, mean_ip, best, dmap):
+            """Guided a/b, phase-2 box means, q and the WTA update."""
+            d = dmin + s
             a = (mean_ip - mean_i * mean_p) * c
             b = mean_p - mean_i * a
             a = jnp.where(in_img_mid, a, 0.0)
@@ -401,11 +406,42 @@ def _make_kernel(cfg: StereoConfig, H: int, W: int,
             upd = best >= q  # ascending d, >= : largest d wins ties
             return jnp.where(upd, q, best), jnp.where(upd, d.astype(jnp.float32), dmap)
 
+        def slice_update(s, I2s, d2s, best, dmap):
+            mean_p, mean_ip = slice_phase1(s, I2s, d2s)
+            return slice_phase2(s, mean_p, mean_ip, best, dmap)
+
+        pipelined = (cfg.sw_pipeline if cfg.sw_pipeline is not None
+                     else _SW_PIPELINE)
         if size_d <= unroll_max(cfg):
             # static unroll: shifts are compile-time rolls
             for s in range(size_d):
                 best, dmap = slice_update(
                     s, _shift_x_vmem(I2, s), _shift_x_vmem(der2, s), best, dmap)
+        elif pipelined:
+            # Software-pipelined fori emission: the loop carries slice
+            # s-1's phase-1 means, so each body holds TWO independent
+            # matmul groups — phase-1 of slice s and phase-2 of slice
+            # s-1 — each with the other's VPU work (cost/x-sums vs
+            # coeffs/x-sums/WTA) available to overlap, instead of the
+            # strictly serial VPU→MXU→VPU→MXU chain of one slice
+            # (BENCH.md roofline: the serialized phases are the gap).
+            # Same per-slice math, same ascending WTA order; the skewed
+            # trace lets the compiler contract FMAs differently, so
+            # best costs can move ~1 ULP and near-ties flip (the
+            # documented fast-path accuracy class — tested bounded).
+            mp0, mip0 = slice_phase1(0, I2, der2)
+
+            def body(s, carry):
+                I2s, d2s, mp, mip, best, dmap = carry
+                I2n = _shift_x_vmem(I2s, 1)
+                d2n = _shift_x_vmem(d2s, 1)
+                mpn, mipn = slice_phase1(s, I2n, d2n)
+                best, dmap = slice_phase2(s - 1, mp, mip, best, dmap)
+                return (I2n, d2n, mpn, mipn, best, dmap)
+
+            carry = jax.lax.fori_loop(
+                1, size_d, body, (I2, der2, mp0, mip0, best, dmap))
+            best, dmap = slice_phase2(size_d - 1, *carry[2:4], *carry[4:])
         else:
             # wide ranges: a 128-way unroll grinds the Mosaic compiler
             # for tens of minutes, so loop with a carried match image
@@ -850,11 +886,16 @@ def _n_live(cfg: StereoConfig, n_slices: int | None = None) -> int:
     """``n_slices`` is the kernel's LOCAL slice count (differs from
     cfg.size_d under 'd' sharding) — the unroll-vs-fori branch, and
     hence the live-buffer estimate, follows the local count exactly as
-    _make_kernel does."""
+    _make_kernel does.  The software-pipelined fori emission carries
+    the previous slice's two phase-1 mean buffers across iterations
+    (+2 ext tiles)."""
     impl = cfg.y_sum or _Y_SUM_IMPL
     size = cfg.size_d if n_slices is None else n_slices
     if size > unroll_max(cfg):  # fori d-loop branch
-        return _N_LIVE_FORI.get(impl, 34)
+        n = _N_LIVE_FORI.get(impl, 34)
+        if (cfg.sw_pipeline if cfg.sw_pipeline is not None else _SW_PIPELINE):
+            n += 2
+        return n
     return _N_LIVE.get(impl, 56)
 
 

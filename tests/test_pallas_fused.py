@@ -482,3 +482,49 @@ def test_pick_tiles_fori_branch_gets_bigger_tiles():
     # larger (smaller-tile) unrolled estimate
     assert pg._n_live(wide, n_slices=8) == pg._N_LIVE["mxu"]
     assert pg._n_live(wide, n_slices=64) == pg._N_LIVE_FORI["mxu"]
+
+
+@pytest.mark.parametrize("impl", ["mxu", "roll", "mxu3"])
+def test_fused_fori_sw_pipeline_matches_plain(impl):
+    """The software-pipelined fori emission (sw_pipeline=True with
+    size_d > unroll_max) runs the same per-slice math in the same
+    ascending WTA order as the plain fori loop; only the trace order
+    skews (phase-1 of slice s issues alongside phase-2 of slice s-1),
+    which lets the compiler contract FMAs differently — best costs may
+    differ by ~1 ULP and WTA near-ties may flip (the documented
+    fast-path accuracy class), nothing more."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+    g1, g2 = _pair(48, 130, seed=21)
+    cfg0 = dataclasses.replace(CFG, unroll_max=8, y_sum=impl,
+                               sw_pipeline=False)
+    cfg1 = dataclasses.replace(CFG, unroll_max=8, y_sum=impl,
+                               sw_pipeline=True)
+    for gl, gr, dmin in [(g1, g2, CFG.d_min), (g2, g1, CFG.d_min_right)]:
+        b0, d0 = guided_wta_fused(jnp.asarray(gl), jnp.asarray(gr), dmin, cfg0)
+        b1, d1 = guided_wta_fused(jnp.asarray(gl), jnp.asarray(gr), dmin, cfg1)
+        np.testing.assert_allclose(np.asarray(b0), np.asarray(b1),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"{impl} best dmin={dmin}")
+        mism = int((np.asarray(d0) != np.asarray(d1)).sum())
+        assert mism <= max(4, d0.size * 2e-3), \
+            f"{impl} dmin={dmin}: {mism}/{d0.size} label flips"
+
+
+def test_fused_fori_sw_pipeline_wide_range():
+    """Pipelined fori on a genuinely wide range (64 disparities) stays
+    in the same accuracy class as the plain fori emission."""
+    from stereo_matching_cuda_tpu.config import StereoConfig
+    from stereo_matching_cuda_tpu.ops.pallas_guided import guided_wta_fused
+
+    g1, g2 = _pair(48, 160, seed=22)
+    cfg0 = StereoConfig(d_min=-63, d_max=0, sw_pipeline=False)
+    cfg1 = StereoConfig(d_min=-63, d_max=0, sw_pipeline=True)
+    b0, d0 = guided_wta_fused(jnp.asarray(g1), jnp.asarray(g2), -63, cfg0)
+    b1, d1 = guided_wta_fused(jnp.asarray(g1), jnp.asarray(g2), -63, cfg1)
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(b1),
+                               rtol=1e-6, atol=1e-6)
+    mism = int((np.asarray(d0) != np.asarray(d1)).sum())
+    assert mism <= max(4, d0.size * 2e-3), f"{mism}/{d0.size} label flips"
