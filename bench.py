@@ -23,9 +23,16 @@ chained at the Python level with the same perturb-by-output dependency;
 the chain is serialized by data dependencies and additionally pays real
 inter-stage dispatch latency.
 
-Set STEREO_BENCH_SKIP_BIG=1 to skip the 6 MP measurement and
+The big-frame benches (6 MP, 5.9 MP x 128 d) run on STRUCTURED frames —
+the synthetic layered scene of utils/synth.py at scale — not noise:
+WTA/fill behavior on noise differs from real scenes (no coherent
+winners or occlusion runs).  Round-2 and earlier 6 MP numbers were
+noise+roll frames.
+
+Set STEREO_BENCH_SKIP_BIG=1 to skip the 6 MP measurement,
 STEREO_BENCH_SKIP_BATCH=1 to skip the B=8 sequence-throughput
-measurement (BASELINE config #5).
+measurement (BASELINE config #5), and STEREO_BENCH_SKIP_WIDED=1 to
+skip the 5.9 MP x 128-disparity measurement (BASELINE config #4).
 """
 
 import json
@@ -100,30 +107,36 @@ def timed_frames(cfg, l, r, n_small=17, n_big=49, log=lambda *a: None):
     return per, ts, tb
 
 
-def bench_big(log):
-    """6 MP full pipeline through the product staged path; returns
-    ms/frame."""
+def _structured_pair(h, w, ndisp=16, seed=7):
+    """Structured (non-noise) stereo pair: the synthetic layered scene
+    (utils/synth.py) at benchmark scale.  WTA/fill behavior on noise
+    frames differs from real scenes (no coherent winners, no real
+    occlusion runs), so the big-frame benches render actual geometry."""
+    from stereo_matching_cuda_tpu.utils.synth import make_scene
+
+    s = make_scene(h, w, ndisp=ndisp, seed=seed)
+    return s["left"], s["right"]
+
+
+def _staged_chain_ms(cfg, left_np, right_np, log, tag, n_big=5):
+    """Per-frame ms for the product staged path: Python-level chain of
+    frames serialized by a perturb-by-output dependency, differencing
+    an n_big-frame chain against a 1-frame chain."""
     import jax
     import jax.numpy as jnp
 
-    from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG as cfg
-    from stereo_matching_cuda_tpu.pipeline import (
-        stereo_pipeline_staged, use_staged_path)
+    from stereo_matching_cuda_tpu.pipeline import stereo_pipeline_staged
 
-    assert use_staged_path(cfg, 1992, 3008), "6 MP must take the staged path"
     summ = jax.jit(lambda x: jnp.sum(x))
     perturb = jax.jit(lambda l, f: l + (f[..., None].astype(jnp.uint8) & 1))
 
     def frame(l, r):
         return stereo_pipeline_staged(l, r, cfg)["occlusion_filled"]
 
-    rng = np.random.default_rng(1)
-    big_l = rng.integers(0, 256, size=(1992, 3008, 3), dtype=np.uint8)
-    big_r = np.roll(big_l, 7, axis=1)
-    bl, br = jnp.asarray(big_l), jnp.asarray(big_r)
+    bl, br = jnp.asarray(left_np), jnp.asarray(right_np)
     t0 = time.time()
     float(summ(frame(bl, br)))
-    log(f"  6MP staged first frame (incl compile): {time.time()-t0:.1f}s")
+    log(f"  {tag} staged first frame (incl compile): {time.time()-t0:.1f}s")
 
     def run_chain(n):
         t0 = time.time()
@@ -137,11 +150,42 @@ def bench_big(log):
 
     run_chain(1)
     t1 = min(run_chain(1), run_chain(1))
-    t5 = min(run_chain(5), run_chain(5))
-    per_ms = (t5 - t1) / 4 * 1e3
-    log(f"6MP full pipeline (product staged path): {per_ms:.1f} ms/frame "
-        f"({1e3/per_ms:.2f} fps; reference bike 7,715 ms -> "
-        f"{BASELINE_BIKE_MS/per_ms:.0f}x)")
+    tn = min(run_chain(n_big), run_chain(n_big))
+    return (tn - t1) / (n_big - 1) * 1e3
+
+
+def bench_big(log):
+    """6 MP full pipeline through the product staged path on a
+    structured (layered-scene) pair; returns ms/frame."""
+    from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG as cfg
+    from stereo_matching_cuda_tpu.pipeline import use_staged_path
+
+    assert use_staged_path(cfg, 1992, 3008), "6 MP must take the staged path"
+    big_l, big_r = _structured_pair(1992, 3008)
+    per_ms = _staged_chain_ms(cfg, big_l, big_r, log, "6MP")
+    log(f"6MP full pipeline (product staged path, structured frames): "
+        f"{per_ms:.1f} ms/frame ({1e3/per_ms:.2f} fps; reference bike "
+        f"7,715 ms -> {BASELINE_BIKE_MS/per_ms:.0f}x)")
+    return per_ms
+
+
+def bench_wide_d(log):
+    """5.9 MP x 128 disparities full pipeline (BASELINE config #4 —
+    Middlebury-full-res class; the reference caps at 16 disparities so
+    there is no reference number).  Exercises the wide-range fori
+    kernel + band-restricted mxu y-sums; returns ms/frame."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG
+    from stereo_matching_cuda_tpu.pipeline import use_staged_path
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, d_min=-127, d_max=0)
+    h, w = 1988, 2948
+    assert use_staged_path(cfg, h, w), "wide-D must take the staged path"
+    big_l, big_r = _structured_pair(h, w, ndisp=128)
+    per_ms = _staged_chain_ms(cfg, big_l, big_r, log, "5.9MP/128d", n_big=4)
+    log(f"5.9MP x 128-disparity full pipeline (staged, structured "
+        f"frames): {per_ms:.1f} ms/frame ({1e3/per_ms:.2f} fps)")
     return per_ms
 
 
@@ -260,6 +304,14 @@ def main():
         except Exception as e:  # keep the headline metric alive
             log(f"6MP bench failed: {e!r}")
             extra["six_mp_error"] = repr(e)
+    if not os.environ.get("STEREO_BENCH_SKIP_WIDED"):
+        try:
+            wd_ms = bench_wide_d(log)
+            extra["wide_d_ms_per_frame"] = round(wd_ms, 1)
+            extra["wide_d_config"] = "5.9MP_128disp"
+        except Exception as e:
+            log(f"wide-D bench failed: {e!r}")
+            extra["wide_d_error"] = repr(e)
 
     print(json.dumps({
         "metric": "tsukuba_full_pipeline_fps",
