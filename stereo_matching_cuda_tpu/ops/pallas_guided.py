@@ -53,31 +53,42 @@ from .guided import BEST_COST_INIT
 def _pick_tiles(h: int, w: int, px: int, halo_y: int,
                 vmem_budget: int = int(15.7 * 2**20),
                 n_live: int = 45) -> tuple[int, int]:
-    """(strip_height, tile_width) that fit VMEM; wide images tile in x
-    as well (halo rows/cols are recomputed per tile — the picker
-    minimizes that overhead subject to the VMEM estimate below).
+    """(strip_height, tile_width) that fit VMEM.
+
+    The kernel runs near speed-of-light on the work it ISSUES (r3
+    swpipe probe: Mosaic schedules no VPU/MXU overlap, so issued work
+    is the frame time); the waste is halo recompute.  The objective is
+    therefore the exact issued-work ratio — ny*nx ext tiles over the
+    frame's interior — which, unlike a per-tile ratio, also charges
+    the ceil waste of strips overhanging the image (ny*sh > h burned
+    25% of Tsukuba-height frames under the old per-tile objective).
+    Ties prefer fewer programs (less per-program dispatch).
+
     ``n_live`` = ext-tile f32 buffers Mosaic keeps live through the
-    unrolled d-loop (measured ~45 for the single-view kernel; the
-    dual-view kernel runs two guided chains per slice and needs more)."""
+    d-loop (measured ~45 for the single-view unrolled kernel, ~32-34
+    fori; the dual-view kernel runs two guided chains per slice and
+    needs more), plus the (she, she) band matrix and DMA scratch."""
     best = None
-    for tw in (w, 2048, 1024, 512, 384, 256):
-        if tw > w:
-            continue
+    tws = sorted({tw for tw in (w, 2048, 1792, 1536, 1280, 1024, 896,
+                                768, 640, 512, 384, 256) if tw <= w})
+    shs = [s for s in (512, 448, 384, 320, 256, 224, 192, 160, 128, 96,
+                       64, 48, 32, 24, 16, 8) if s <= max(8, h)]
+    for tw in tws:
         wte = ((tw + 2 * px + 127) // 128) * 128
-        for sh in (512, 256, 128, 64, 32, 16, 8):
-            if sh > max(8, h):
-                continue
+        nx = (w + tw - 1) // tw
+        for sh in shs:
             she = sh + 2 * halo_y
-            # n_live ext-tile f32 values live through the unrolled
-            # d-loop (measured: she=176, wte=640 → 19.0 MB OOM; 176×512
-            # fit), plus the (she, she) band matrix and DMA scratch.
+            # n_live ext-tile f32 values live through the d-loop
+            # (measured: she=176, wte=640 → 19.0 MB OOM at n_live 45;
+            # 176×512 fit), plus the band matrix.
             est = (n_live * she * wte + she * she) * 4
             if est > vmem_budget:
                 continue
-            # minimize recomputed halo area per retained pixel
-            overhead = ((sh + 2 * halo_y) * wte) / (sh * min(tw, w))
-            if best is None or overhead < best[0]:
-                best = (overhead, sh, tw)
+            ny = (h + sh - 1) // sh
+            overhead = (ny * nx * she * wte) / (h * w)
+            key = (overhead, ny * nx)
+            if best is None or key < best[0]:
+                best = (key, sh, tw)
     if best is None:
         raise ValueError(
             f"no fused-kernel tiling fits the {vmem_budget/2**20:.1f} MB "
