@@ -132,11 +132,24 @@ _BIG_STRATEGY: dict | None = {"unroll_max": 8, "y_sum": "roll"}
 # 262,144 px, 1.07 vs 1.95).
 _STRATEGY_PIXELS = 200_000
 
+# Auto VMEM budget (MiB) for staged-scale frames on the fori kernel
+# branch.  Round-3 finding (scripts/r3_bigtile.py, BENCH.md): the
+# kernel runs at the speed of the work it issues, so bigger tiles =
+# flatter halo-recompute ratios = direct wins — 6 MP 24.6 → 20.3 ms,
+# 5.9 MP/128 d 303 → 195 ms at vmem64 — and the fori branch Mosaic-
+# compiles these tiles in 12-33 s (it is the UNROLLED emission whose
+# big-strip compiles take ~30 min, which is why this only applies when
+# the kernel takes the fori branch).  96 MiB measured no better than
+# 64 (20.7 vs 20.3 at 6 MP; fewer, larger programs stop paying).
+_BIG_VMEM_MB: int | None = 64
+
 
 def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     """Resolve the frame-size-dependent kernel strategy.  Only frames
     >= _STRATEGY_PIXELS with every relevant knob still on its auto
     default are rewritten; any explicit user choice wins."""
+    import dataclasses
+
     from .ops.pallas_guided import unroll_max
 
     if (_BIG_STRATEGY and h * w >= _STRATEGY_PIXELS
@@ -144,9 +157,11 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
             and cfg.dual_view == "auto" and cfg.unroll_max is None
             and cfg.y_sum is None and cfg.fused == "auto"
             and not cfg.exact_integral):
-        import dataclasses
-
-        return dataclasses.replace(cfg, **_BIG_STRATEGY)
+        cfg = dataclasses.replace(cfg, **_BIG_STRATEGY)
+    if (_BIG_VMEM_MB and cfg.vmem_mb is None and h * w >= _STAGED_PIXELS
+            and cfg.size_d > unroll_max(cfg)   # fori branch: fast compiles
+            and cfg.fused in ("auto", True) and not cfg.exact_integral):
+        cfg = dataclasses.replace(cfg, vmem_mb=_BIG_VMEM_MB)
     return cfg
 
 

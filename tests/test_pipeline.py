@@ -191,13 +191,41 @@ def test_effective_config_big_frame_default_live():
     """The hardware-validated default (fori + roll y-sums for 16-d
     big frames — BENCH.md) is LIVE: a 6 MP default-config frame gets
     the overrides, while wide-D configs (already on the fori branch
-    with the measured band-restricted mxu default) are untouched."""
+    with the measured band-restricted mxu default) keep their kernel
+    knobs."""
     from stereo_matching_cuda_tpu import pipeline as P
 
     big = P.effective_config(CFG, 1992, 3008)
     assert big.unroll_max == 8 and big.y_sum == "roll"
-    wide = dataclasses.replace(CFG, d_min=-127, d_max=0)
-    assert P.effective_config(wide, 1992, 3008) is wide
+    wide = P.effective_config(
+        dataclasses.replace(CFG, d_min=-127, d_max=0), 1992, 3008)
+    assert wide.y_sum is None and wide.unroll_max is None
     # gate sits between Tsukuba (dual wins) and 512x512 (fori wins)
     assert P.effective_config(CFG, 288, 384) is CFG
     assert P.effective_config(CFG, 512, 512).y_sum == "roll"
+
+
+def test_effective_config_big_vmem_default():
+    """Staged-scale frames on the fori kernel branch get the measured
+    vmem64 budget (r3_bigtile: 6 MP 24.6 → 20.3 ms, 128 d 303 → 195);
+    explicit vmem_mb wins, unrolled-branch configs (slow big-strip
+    Mosaic compiles) and sub-staged frames are untouched."""
+    from stereo_matching_cuda_tpu import pipeline as P
+
+    assert P._BIG_VMEM_MB == 64
+    # 6 MP default: strategy rewrite puts it on the fori branch → vmem64
+    assert P.effective_config(CFG, 1992, 3008).vmem_mb == 64
+    # wide-D at 6 MP: fori branch without any strategy rewrite → vmem64
+    wide = dataclasses.replace(CFG, d_min=-127, d_max=0)
+    assert P.effective_config(wide, 1992, 3008).vmem_mb == 64
+    # explicit vmem_mb is never overridden
+    user = dataclasses.replace(wide, vmem_mb=32)
+    assert P.effective_config(user, 1992, 3008).vmem_mb == 32
+    # forced dual_view at 16 d stays on the unrolled branch → no auto vmem
+    dual = dataclasses.replace(CFG, dual_view=True)
+    assert P.effective_config(dual, 1992, 3008) is dual
+    # sub-staged-threshold frames keep the default budget
+    assert P.effective_config(CFG, 1024, 1472).vmem_mb is None
+    # exact/parity mode untouched
+    exact = dataclasses.replace(wide, exact_integral=True)
+    assert P.effective_config(exact, 1992, 3008) is exact
