@@ -1,0 +1,175 @@
+"""Minimal BMP and TGA codecs (dependency-free NumPy).
+
+The reference's stb_image.h reads BMP/TGA alongside PNG (enabled via
+SystemIncludes.h:3-5), though the pipeline itself only ever loads PNGs
+(main.cu:57-58).  These codecs cover the commonly produced subsets:
+
+  BMP:  BITMAPINFOHEADER (or larger) uncompressed BI_RGB, 8-bit
+        paletted / 24-bit BGR / 32-bit BGRA, bottom-up or top-down.
+  TGA:  types 2/10 (truecolor, raw/RLE) at 24/32 bpp and types 3/11
+        (grayscale, raw/RLE), bottom-up or top-down origin.
+
+Both decode to the same uint8 (H, W[, C]) RGB-order arrays the PNG
+codecs return; writers emit 24-bit BMP / TGA (and 8-bit gray TGA) for
+round-trip tests and interchange.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ----------------------------------------------------------------- BMP
+
+def read_bmp(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] != b"BM":
+        raise ValueError(f"{path}: not a BMP file")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(f"{path}: BITMAPCOREHEADER unsupported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise NotImplementedError(
+            f"{path}: compressed BMP (method {compression}) unsupported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{path}: {bpp}-bpp BMP unsupported")
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"{path}: bad BMP dimensions {w}x{h_signed}")
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+
+    palette = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n_colors = n_colors or 256
+        po = 14 + hdr_size
+        quads = np.frombuffer(data, np.uint8, n_colors * 4, po)
+        palette = quads.reshape(-1, 4)[:, [2, 1, 0]].copy()   # BGRA → RGB
+
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    if pix_off + stride * h > len(data):
+        raise ValueError(f"{path}: truncated BMP pixel data")
+    rows = np.frombuffer(data, np.uint8, stride * h, pix_off)
+    rows = rows.reshape(h, stride)[:, : w * nbytes]
+    if bottom_up:
+        rows = rows[::-1]
+    if bpp == 8:
+        idx = rows.reshape(h, w)
+        if idx.max() >= len(palette):
+            raise ValueError(f"{path}: palette index out of range")
+        rgb = palette[idx]
+        if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+            return rgb[..., 0].copy()          # grayscale palette → (H, W)
+        return rgb
+    px = rows.reshape(h, w, nbytes)
+    if bpp == 24:
+        return px[..., [2, 1, 0]].copy()       # BGR → RGB
+    return px[..., [2, 1, 0, 3]].copy()        # BGRA → RGBA
+
+
+def write_bmp(path: str, img: np.ndarray) -> None:
+    """uint8 (H, W) gray or (H, W, 3) RGB → 24-bit bottom-up BMP."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f"BMP writer needs uint8, got {img.dtype}")
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"BMP writer needs (H,W) or (H,W,3), got {img.shape}")
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+    with open(path, "wb") as f:
+        f.write(header + dib + pix)
+
+
+# ----------------------------------------------------------------- TGA
+
+def read_tga(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 18:
+        raise ValueError(f"{path}: truncated TGA header")
+    idlen, cmap_type, img_type = data[0], data[1], data[2]
+    w, h = struct.unpack_from("<HH", data, 12)
+    bpp, desc = data[16], data[17]
+    if cmap_type != 0:
+        raise NotImplementedError(f"{path}: color-mapped TGA unsupported")
+    if img_type not in (2, 3, 10, 11):
+        raise NotImplementedError(f"{path}: TGA type {img_type} unsupported")
+    gray = img_type in (3, 11)
+    if gray and bpp != 8:
+        raise NotImplementedError(f"{path}: {bpp}-bpp grayscale TGA")
+    if not gray and bpp not in (24, 32):
+        raise NotImplementedError(f"{path}: {bpp}-bpp truecolor TGA")
+    if w == 0 or h == 0:
+        raise ValueError(f"{path}: bad TGA dimensions {w}x{h}")
+    nbytes = bpp // 8
+    pos = 18 + idlen
+    n_px = w * h
+
+    if img_type in (2, 3):                      # raw
+        need = n_px * nbytes
+        if pos + need > len(data):
+            raise ValueError(f"{path}: truncated TGA pixel data")
+        px = np.frombuffer(data, np.uint8, need, pos).reshape(n_px, nbytes)
+    else:                                       # RLE packets
+        px = np.empty((n_px, nbytes), np.uint8)
+        filled = 0
+        while filled < n_px:
+            if pos >= len(data):
+                raise ValueError(f"{path}: truncated TGA RLE stream")
+            hdr = data[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:                      # run: one pixel repeated
+                val = np.frombuffer(data, np.uint8, nbytes, pos)
+                pos += nbytes
+                px[filled : filled + count] = val
+            else:                               # literal pixels
+                lit = np.frombuffer(data, np.uint8, count * nbytes, pos)
+                pos += count * nbytes
+                px[filled : filled + count] = lit.reshape(count, nbytes)
+            filled += count
+        if filled != n_px:
+            raise ValueError(f"{path}: TGA RLE overruns the image")
+
+    img = px.reshape(h, w, nbytes)
+    if not (desc & 0x20):                       # bit 5 clear = bottom-up
+        img = img[::-1]
+    if gray:
+        return img[..., 0].copy()
+    if nbytes == 3:
+        return img[..., [2, 1, 0]].copy()       # BGR → RGB
+    return img[..., [2, 1, 0, 3]].copy()        # BGRA → RGBA
+
+
+def write_tga(path: str, img: np.ndarray) -> None:
+    """uint8 (H, W) gray (type 3) or (H, W, 3) RGB (type 2), top-down."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f"TGA writer needs uint8, got {img.dtype}")
+    if img.ndim == 2:
+        img_type, bpp, payload = 3, 8, img.tobytes()
+    elif img.ndim == 3 and img.shape[2] == 3:
+        img_type, bpp, payload = 2, 24, img[:, :, [2, 1, 0]].tobytes()
+    else:
+        raise ValueError(f"TGA writer needs (H,W) or (H,W,3), got {img.shape}")
+    h, w = img.shape[:2]
+    header = struct.pack("<BBBHHBHHHHBB", 0, 0, img_type, 0, 0, 0, 0, 0,
+                         w, h, bpp, 0x20)       # bit 5 = top-down
+    with open(path, "wb") as f:
+        f.write(header + payload)

@@ -150,9 +150,9 @@ def write_png(path: str, img: np.ndarray) -> None:
 
 def read_image(path: str) -> np.ndarray:
     """Format-dispatching reader (magic bytes): PNG, PGM/PPM (P5/P6),
-    PFM (Pf/PF float — Middlebury ground-truth disparities).  The
-    reference's stb layer reads PNM alongside PNG; PFM covers the
-    Middlebury GT workflow."""
+    PFM (Pf/PF float — Middlebury ground-truth disparities), BMP, and
+    TGA (no magic — dispatched by .tga extension, as stb does).  The
+    reference's stb layer reads these alongside PNG."""
     with open(path, "rb") as f:
         magic = f.read(2)
     if magic == b"\x89P":
@@ -165,6 +165,14 @@ def read_image(path: str) -> np.ndarray:
         from . import pnm
 
         return pnm.read_pfm(path)
+    if magic == b"BM":
+        from . import imagefmt
+
+        return imagefmt.read_bmp(path)
+    if path.lower().endswith(".tga"):
+        from . import imagefmt
+
+        return imagefmt.read_tga(path)
     raise ValueError(f"{path}: unrecognized image format (magic {magic!r})")
 
 

@@ -1,4 +1,4 @@
-"""Minimal dependency-free PNG codec (8/16-bit, non-interlaced).
+"""Minimal dependency-free PNG codec (8/16-bit, sequential + Adam7).
 
 The reference vendors stb_image / stb_image_write (single-header C
 libraries) as its image I/O layer (SystemIncludes.h:3-5, main.cu:57-58,
@@ -9,8 +9,9 @@ C++ native codec in ``native/stereoio`` (loaded via ctypes in
 Supports reading color types 0 (gray), 2 (RGB), 3 (palette, 8-bit
 only), 4 (gray+A), 6 (RGBA) at bit depths 8 and 16 (the 16-bit path
 mirrors stb_image.h's PNG16 support — Middlebury-style ground-truth
-disparity files), and writing uint8 gray / RGB / RGBA plus uint16
-gray / RGB.
+disparity files), sequential and Adam7-interlaced (stb_image.h's
+full interlace surface), and writing uint8 gray / RGB / RGBA plus
+uint16 gray / RGB.
 """
 
 from __future__ import annotations
@@ -21,6 +22,79 @@ import zlib
 import numpy as np
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _unfilter_lines(raw: np.ndarray, h: int, stride: int, bpp: int,
+                    path: str) -> np.ndarray:
+    """Undo the per-scanline PNG filters for ``h`` lines of ``stride``
+    payload bytes each (raw holds h*(stride+1) bytes, filter byte
+    first).  Shared by the sequential and Adam7 paths — each interlace
+    pass is filtered as an independent sub-image (prev row resets)."""
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    lines = raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        line = lines[y].copy()
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 2:  # Up
+            cur = (line.astype(np.int32) + prev.astype(np.int32)).astype(np.uint8)
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"{path}: unknown filter {f}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _deinterlace_adam7(raw: bytes, h: int, w: int, bpp: int,
+                       path: str) -> np.ndarray:
+    """Reassemble the 7 Adam7 passes (each an independently filtered
+    sub-image, empty passes omitted) into (h, w, bpp) bytes."""
+    full = np.zeros((h, w, bpp), dtype=np.uint8)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        if pos + need > len(buf):
+            raise ValueError(f"{path}: truncated Adam7 pass data")
+        sub = _unfilter_lines(buf[pos : pos + need], ph, stride, bpp, path)
+        pos += need
+        full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if pos != len(buf):
+        raise ValueError(f"{path}: bad Adam7 IDAT size {len(buf)} != {pos}")
+    return full
 
 
 def read_png(path: str) -> np.ndarray:
@@ -56,8 +130,8 @@ def read_png(path: str) -> np.ndarray:
             f"{path}: bit depth {bitdepth} unsupported (8/16 only)")
     if bitdepth == 16 and color_type == 3:
         raise ValueError(f"{path}: 16-bit palette PNG is invalid")
-    if interlace != 0:
-        raise NotImplementedError(f"{path}: interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"{path}: unknown interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
@@ -65,45 +139,14 @@ def read_png(path: str) -> np.ndarray:
         raise ValueError(f"{path}: corrupt PNG data ({e})") from e
     bpp = channels * (bitdepth // 8)  # filter offset in bytes
     stride = w * bpp
-    expected = h * (stride + 1)
-    if len(raw) != expected:
-        raise ValueError(f"{path}: bad IDAT size {len(raw)} != {expected}")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = raw[:, 0]
-    lines = raw[:, 1:]
-
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = filters[y]
-        line = lines[y].copy()
-        if f == 0:
-            cur = line
-        elif f == 1:  # Sub
-            cur = line
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
-        elif f == 2:  # Up
-            cur = (line.astype(np.int32) + prev.astype(np.int32)).astype(np.uint8)
-        elif f == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"{path}: unknown filter {f}")
-        out[y] = cur
-        prev = cur
+    if interlace == 0:
+        expected = h * (stride + 1)
+        if len(raw) != expected:
+            raise ValueError(f"{path}: bad IDAT size {len(raw)} != {expected}")
+        out = _unfilter_lines(
+            np.frombuffer(raw, dtype=np.uint8), h, stride, bpp, path)
+    else:
+        out = _deinterlace_adam7(raw, h, w, bpp, path).reshape(h, stride)
 
     if bitdepth == 16:
         # big-endian sample pairs → host uint16
