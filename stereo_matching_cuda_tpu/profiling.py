@@ -203,6 +203,49 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> 
     return rows
 
 
+def batch_stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG,
+                      n: int = 9) -> list[dict]:
+    """Per-FRAME device ms per stage inside the batched pipeline's
+    structure ((B,H,W,C) inputs run through a lax.map of the single-
+    frame prefixes, exactly like stereo_pipeline_batch) — the analysis
+    surface for sequence-throughput work: a stage whose per-frame cost
+    matches the single-frame table is pure per-frame work that batching
+    cannot amortize."""
+    from .pipeline import use_fused_path, use_dual_view
+
+    if left.ndim != 4:
+        raise ValueError(f"batch_stage_table needs (B,H,W,C), got {left.shape}")
+    fused = use_fused_path(cfg)
+    if fused and use_dual_view(cfg):
+        fused = "dual"
+    stages = ({"dual": STAGES_DUAL, True: STAGES_FUSED}.get(fused)
+              or STAGES_UNFUSED)
+    B = left.shape[0]
+    l = jnp.asarray(left)
+    r = jnp.asarray(right)
+    cum = []
+    for name, stage in stages:
+        one = _prefix_fn(cfg, stage, fused)
+
+        def batched(a, b, one=one):
+            return jax.lax.map(lambda ab: one(ab[0], ab[1]), (a, b)).sum()
+
+        f1 = _chained(batched, 1)
+        fn_ = _chained(batched, n)
+        float(f1(l, r)); float(fn_(l, r))
+        t1 = min(_t(f1, l, r), _t(f1, l, r))
+        tn = min(_t(fn_, l, r), _t(fn_, l, r))
+        cum.append((name, (tn - t1) / (n - 1) / B))
+    rows = []
+    prev = 0.0
+    for name, t in cum:
+        rows.append({"stage": name, "ms": round(max(0.0, t - prev) * 1e3, 3)})
+        prev = t
+    rows.append({"stage": f"TOTAL (per frame, B={B})",
+                 "ms": round(cum[-1][1] * 1e3, 3)})
+    return rows
+
+
 def _t(f, l, r):
     t0 = time.time()
     float(f(l, r))

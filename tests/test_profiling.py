@@ -64,3 +64,21 @@ def test_trace_context_writes_profile(tmp_path):
     for root, _dirs, files in os.walk(logdir):
         found += files
     assert found, "trace() produced no profiler artifacts"
+
+
+def test_batch_stage_table_structure():
+    """batch_stage_table profiles the batched (lax.map) structure and
+    reports per-frame ms; rejects non-batched input."""
+    import pytest
+
+    left, right = _pair()
+    bl = np.stack([left] * 3)
+    br = np.stack([right] * 3)
+    rows = profiling.batch_stage_table(bl, br, CFG, n=2)
+    names = [r["stage"] for r in rows]
+    assert names[:-1] == [s for s, _ in profiling.STAGES_UNFUSED]
+    assert names[-1] == "TOTAL (per frame, B=3)"
+    for r in rows:
+        assert r["ms"] >= 0.0 and np.isfinite(r["ms"])
+    with pytest.raises(ValueError):
+        profiling.batch_stage_table(left, right, CFG)
