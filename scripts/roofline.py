@@ -183,3 +183,22 @@ if __name__ == "__main__":
     roofline(1992, 3008, cfg, "6 MP single fori (128,1024) roll",
              single_view=True, restricted=True, n_live=30, y_impl="roll",
              force_sh=128, force_tw=1024)
+
+    # --- round-3 shipped configs.  The r3 swpipe probe settled that
+    # Mosaic schedules no VPU/MXU overlap, so the bound that matters is
+    # the BINDING-unit time on the ISSUED (ext-tile) work — and the
+    # halo overhead printed per config is the lever the auto vmem64/
+    # big-tile default pulls (BENCH.md round-3 decider).
+    print("\n=== round-3 shipped big-tile configs (time PER VIEW; "
+          "frame = 2x + gray/LR/fill) ===")
+    c64 = dataclasses.replace(cfg, vmem_mb=64, unroll_max=8, y_sum="roll")
+    roofline(1992, 3008, c64,
+             "6 MP fori roll vmem64 (shipped auto; measured frame 20.26 ms)",
+             single_view=True, restricted=True, n_live=_n_live(c64),
+             y_impl="roll")
+    c96 = dataclasses.replace(c128, vmem_mb=96)
+    roofline(1988, 2948, c96,
+             "5.9 MP/128 d mxu vmem96 (measured frame 173.2 ms)",
+             single_view=True, restricted=True, n_live=_n_live(c96))
+    cts = dataclasses.replace(cfg, vmem_mb=32)
+    roofline(288, 384, cts, "Tsukuba dual vmem32 warm-cache profile")
