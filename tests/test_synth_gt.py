@@ -134,4 +134,23 @@ def test_cli_eval_on_fixture(tmp_path):
     s0 = rep["scenes"]["scene0"]
     assert s0["ndisp"] == 16
     assert s0["bad_2_0_pct"] < 2.0
-    assert rep["aggregate"]["scored"] == 1
+    assert rep["aggregate"]["scored"] == 2   # scene0 + scene1_wide
+
+
+def test_eval_dataset_two_scenes_aggregate():
+    """evaluate_dataset over the 2-scene fixture: the wide scene's
+    calib.txt (ndisp=64) must override the search range per scene, and
+    the aggregate must report both conventions over 2 scored scenes."""
+    from stereo_matching_cuda_tpu.evaluate import evaluate_dataset
+
+    rep = evaluate_dataset(FIXTURE, StereoConfig())
+    agg = rep["aggregate"]
+    assert agg["scenes"] == 2 and agg["scored"] == 2 and agg["errors"] == 0
+    s0, s1 = rep["scenes"]["scene0"], rep["scenes"]["scene1_wide"]
+    assert s0["ndisp"] == 16 and s1["ndisp"] == 64
+    assert s0["bad_2_0_pct"] < 2.0
+    assert s1["bad_2_0_pct"] < 5.0        # measured 2.34 (wider range,
+    assert s1["epe"] < 1.5                 # 14% occlusion)
+    assert "bad_2_0_pct_weighted" in agg and "epe_weighted" in agg
+    lo, hi = sorted([s0["bad_2_0_pct"], s1["bad_2_0_pct"]])
+    assert lo <= agg["bad_2_0_pct_mean"] <= hi
