@@ -132,16 +132,19 @@ _BIG_STRATEGY: dict | None = {"unroll_max": 8, "y_sum": "roll"}
 # 262,144 px, 1.07 vs 1.95).
 _STRATEGY_PIXELS = 200_000
 
-# Auto VMEM budget (MiB) for staged-scale frames on the fori kernel
-# branch.  Round-3 finding (scripts/r3_bigtile.py, BENCH.md): the
+# Auto VMEM budgets (MiB) for staged-scale frames on the fori kernel
+# branch.  Round-3 finding (scripts/r3_bigtile{,2}.py, BENCH.md): the
 # kernel runs at the speed of the work it issues, so bigger tiles =
-# flatter halo-recompute ratios = direct wins — 6 MP 24.6 → 20.3 ms,
-# 5.9 MP/128 d 303 → 195 ms at vmem64 — and the fori branch Mosaic-
-# compiles these tiles in 12-33 s (it is the UNROLLED emission whose
-# big-strip compiles take ~30 min, which is why this only applies when
-# the kernel takes the fori branch).  96 MiB measured no better than
-# 64 (20.7 vs 20.3 at 6 MP; fewer, larger programs stop paying).
-_BIG_VMEM_MB: int | None = 64
+# flatter halo-recompute ratios = direct wins — 6 MP 24.6 → 20.3 ms at
+# vmem64, 5.9 MP/128 d 303 → 163 ms at vmem96+roll — and the fori
+# branch Mosaic-compiles these tiles in 10-63 s (it is the UNROLLED
+# emission whose big-strip compiles take ~30 min, which is why this
+# only applies when the kernel takes the fori branch).  Measured
+# saturation bounds the budgets: 6 MP at 96 MiB is no better than 64
+# (20.7 vs 20.3; fewer, larger programs stop paying) and 128 d at
+# 120 MiB regresses hard (200 vs 171 — the VMEM edge).
+_BIG_VMEM_MB: int | None = 64      # disparity counts within the unroll cap
+_WIDE_VMEM_MB: int | None = 96     # wide ranges (size_d > _UNROLL_MAX)
 
 
 def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
@@ -150,7 +153,7 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     default are rewritten; any explicit user choice wins."""
     import dataclasses
 
-    from .ops.pallas_guided import unroll_max
+    from .ops.pallas_guided import _UNROLL_MAX, unroll_max
 
     if (_BIG_STRATEGY and h * w >= _STRATEGY_PIXELS
             and cfg.size_d <= unroll_max(cfg)
@@ -161,7 +164,16 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     if (_BIG_VMEM_MB and cfg.vmem_mb is None and h * w >= _STAGED_PIXELS
             and cfg.size_d > unroll_max(cfg)   # fori branch: fast compiles
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
-        cfg = dataclasses.replace(cfg, vmem_mb=_BIG_VMEM_MB)
+        wide = cfg.size_d > _UNROLL_MAX
+        over: dict = {"vmem_mb": _WIDE_VMEM_MB if wide else _BIG_VMEM_MB}
+        if wide and cfg.y_sum is None:
+            # at the vmem96 tiles the halo ratio flattens enough that
+            # the MXU passes become the binding unit again: roll 163.4
+            # vs band-mxu 173.2 ms at 5.9 MP/128 d (r3_bigtile2).  Only
+            # flipped together with the auto budget — at small tiles
+            # (explicit low vmem_mb) band-mxu still wins (BENCH.md r2).
+            over["y_sum"] = "roll"
+        cfg = dataclasses.replace(cfg, **over)
     return cfg
 
 

@@ -197,9 +197,11 @@ def test_effective_config_big_frame_default_live():
 
     big = P.effective_config(CFG, 1992, 3008)
     assert big.unroll_max == 8 and big.y_sum == "roll"
+    # wide-D keeps its unroll knob (already fori) but picks up the
+    # staged-scale vmem96 + roll default (r3_bigtile2)
     wide = P.effective_config(
         dataclasses.replace(CFG, d_min=-127, d_max=0), 1992, 3008)
-    assert wide.y_sum is None and wide.unroll_max is None
+    assert wide.y_sum == "roll" and wide.unroll_max is None
     # gate sits between Tsukuba (dual wins) and 512x512 (fori wins)
     assert P.effective_config(CFG, 288, 384) is CFG
     assert P.effective_config(CFG, 512, 512).y_sum == "roll"
@@ -212,12 +214,19 @@ def test_effective_config_big_vmem_default():
     Mosaic compiles) and sub-staged frames are untouched."""
     from stereo_matching_cuda_tpu import pipeline as P
 
-    assert P._BIG_VMEM_MB == 64
+    assert P._BIG_VMEM_MB == 64 and P._WIDE_VMEM_MB == 96
     # 6 MP default: strategy rewrite puts it on the fori branch → vmem64
-    assert P.effective_config(CFG, 1992, 3008).vmem_mb == 64
-    # wide-D at 6 MP: fori branch without any strategy rewrite → vmem64
-    wide = dataclasses.replace(CFG, d_min=-127, d_max=0)
-    assert P.effective_config(wide, 1992, 3008).vmem_mb == 64
+    big = P.effective_config(CFG, 1992, 3008)
+    assert big.vmem_mb == 64 and big.y_sum == "roll"
+    # wide-D at 6 MP: fori branch, wide range → vmem96 + roll y-sums
+    wide = P.effective_config(
+        dataclasses.replace(CFG, d_min=-127, d_max=0), 1992, 3008)
+    assert wide.vmem_mb == 96 and wide.y_sum == "roll"
+    # explicit y_sum survives; the budget still applies
+    wide_mxu = P.effective_config(
+        dataclasses.replace(CFG, d_min=-127, d_max=0, y_sum="mxu"),
+        1992, 3008)
+    assert wide_mxu.vmem_mb == 96 and wide_mxu.y_sum == "mxu"
     # explicit vmem_mb is never overridden
     user = dataclasses.replace(wide, vmem_mb=32)
     assert P.effective_config(user, 1992, 3008).vmem_mb == 32
