@@ -29,9 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="stereo_matching_cuda_tpu",
         description="TPU-native cost-volume stereo with guided-filter aggregation",
     )
-    p.add_argument("left", help="left image (PNG); dataset root with --eval")
+    p.add_argument("left", nargs="?", default=None,
+                   help="left image (PNG); dataset root with --eval; "
+                        "omitted with --serve")
     p.add_argument("right", nargs="?", default=None,
-                   help="right image (PNG); omitted with --eval")
+                   help="right image (PNG); omitted with --eval/--serve")
     p.add_argument("-o", "--out", default=".", help="output directory")
     p.add_argument("--d-min", type=int, default=-15, help="min disparity (SystemIncludes.h:12)")
     p.add_argument("--d-max", type=int, default=0, help="max disparity (SystemIncludes.h:11)")
@@ -97,6 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="left/right are DIRECTORIES of same-shaped frames; "
                         "pairs are matched by sorted filename order and "
                         "processed with one compiled executable")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="run a long-lived HTTP serving process (POST "
+                        "/disparity with base64 image pairs, GET /healthz); "
+                        "jit executables — including --vmem-mb fast-profile "
+                        "kernels — compile once per process and stay warm")
+    p.add_argument("--serve-host", default="127.0.0.1",
+                   help="bind address for --serve (default 127.0.0.1)")
     return p
 
 
@@ -222,6 +231,22 @@ def main(argv=None) -> int:
             return 2
     if not args.oracle:
         _enable_compile_cache()
+    if args.serve is not None:
+        for flag, on in [("--eval", args.eval), ("--sequence", args.sequence),
+                         ("--oracle", args.oracle), ("--mesh", args.mesh),
+                         ("positional image arguments", args.left)]:
+            if on:
+                print(f"error: --serve does not combine with {flag}",
+                      file=sys.stderr)
+                return 2
+        from .serve import serve_forever
+
+        serve_forever(args.serve_host, args.serve, cfg)
+        return 0
+    if args.left is None:
+        print("error: left image is required (or use --eval/--serve)",
+              file=sys.stderr)
+        return 2
     if args.eval:
         from .evaluate import evaluate_dataset
 

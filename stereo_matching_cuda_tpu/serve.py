@@ -1,0 +1,184 @@
+"""Long-lived stereo serving mode (stdlib HTTP, no dependencies).
+
+The reference is a one-shot CLI; this framework additionally targets
+production serving, where a long-lived process is the natural unit —
+and on TPU it is also the PERFORMANCE unit: jit executables (including
+the `--vmem-mb 32` fast-profile kernel, whose Mosaic compile costs
+~32 min per process because the axon backend ignores jax's persistent
+compile cache — BENCH.md) are compiled once per (shape, config) and
+then served from the in-process cache at full speed.
+
+Protocol (JSON over HTTP, images base64):
+
+  GET  /healthz             → {"status", "backend", "device",
+                               "frames_served", "uptime_s"}
+  POST /disparity           body {"left": b64, "right": b64,
+                               optional "d_min", "d_max"}
+       → {"disparity_png": b64 uint8 PNG (write_mat-normalized, the
+          reference's artifact convention), "disparity_pfm": b64 PFM
+          (raw float disparities incl. the -115 occlusion fill),
+          "height", "width", "occluded_pixels", "occluded_pct",
+          "seconds"}
+
+Any decodable input format works (PNG/PNM/BMP/TGA — read_image's
+surface) — images are passed as bytes and sniffed the same way.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .config import StereoConfig
+from .metrics import occlusion_stats
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    """base64 bytes → image array via the magic-sniffing reader (the
+    readers are file-path based; round-trip through a temp file)."""
+    raw = base64.b64decode(b64, validate=True)
+    fd, path = tempfile.mkstemp(suffix=".img")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(raw)
+        from .utils.io import read_image
+
+        try:
+            return read_image(path)
+        except ValueError:
+            from .utils.imagefmt import read_tga
+
+            return read_tga(path)   # TGA has no magic; last resort
+    finally:
+        os.unlink(path)
+
+
+def _encode_file(write_fn, arr) -> str:
+    fd, path = tempfile.mkstemp(suffix=".out")
+    os.close(fd)
+    try:
+        write_fn(path, arr)
+        with open(path, "rb") as f:
+            return base64.b64encode(f.read()).decode("ascii")
+    finally:
+        os.unlink(path)
+
+
+class StereoServer(ThreadingHTTPServer):
+    """HTTP server holding the config, a jit-serialization lock and
+    serving stats.  Port 0 picks an ephemeral port (tests)."""
+
+    daemon_threads = True
+
+    def __init__(self, addr, cfg: StereoConfig):
+        super().__init__(addr, _Handler)
+        self.cfg = cfg
+        self.lock = threading.Lock()   # serialize device work
+        self.frames_served = 0
+        self.t_start = time.time()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: StereoServer
+
+    def log_message(self, fmt, *args):   # structured one-line log
+        print(f"serve: {self.address_string()} {fmt % args}", flush=True)
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path != "/healthz":
+            return self._reply(404, {"error": f"unknown path {self.path}"})
+        import jax
+
+        dev = jax.devices()[0]
+        self._reply(200, {
+            "status": "ok",
+            "backend": jax.default_backend(),
+            "device": dev.device_kind,
+            "frames_served": self.server.frames_served,
+            "uptime_s": round(time.time() - self.server.t_start, 1),
+        })
+
+    def do_POST(self):
+        if self.path != "/disparity":
+            return self._reply(404, {"error": f"unknown path {self.path}"})
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n))
+            left = _decode_image(req["left"])
+            right = _decode_image(req["right"])
+        except KeyError as e:
+            return self._reply(400, {"error": f"missing field {e}"})
+        except Exception as e:  # bad b64 / undecodable image / bad json
+            return self._reply(400, {"error": f"bad request: {e}"})
+        cfg = self.server.cfg
+        try:
+            import dataclasses
+
+            if "d_min" in req or "d_max" in req:
+                cfg = dataclasses.replace(
+                    cfg, d_min=int(req.get("d_min", cfg.d_min)),
+                    d_max=int(req.get("d_max", cfg.d_max)))
+            if left.ndim != 3 or left.shape != right.shape:
+                raise ValueError(
+                    f"need same-shaped color pairs, got {left.shape} vs "
+                    f"{right.shape}")
+            if left.dtype != np.uint8:
+                raise ValueError(f"images must be 8-bit, got {left.dtype}")
+            from .pipeline import compute_disparity
+
+            t0 = time.time()
+            with self.server.lock:
+                out = compute_disparity(left, right, cfg)
+            dt = time.time() - t0
+        except (ValueError, NotImplementedError) as e:
+            return self._reply(400, {"error": str(e)})
+        filled = out["occlusion_filled"].astype(np.float32)
+
+        from .utils.io import write_mat_normalize, write_png
+        from .utils.pnm import write_pfm
+
+        png_b64 = _encode_file(write_png, write_mat_normalize(filled))
+        pfm_b64 = _encode_file(write_pfm, filled)
+        self.server.frames_served += 1
+        self._reply(200, {
+            "disparity_png": png_b64,
+            "disparity_pfm": pfm_b64,
+            "height": int(filled.shape[0]),
+            "width": int(filled.shape[1]),
+            "seconds": round(dt, 4),
+            **occlusion_stats(out["occlusion"], cfg.v_min),
+        })
+
+
+def make_server(host: str, port: int, cfg: StereoConfig) -> StereoServer:
+    return StereoServer((host, port), cfg)
+
+
+def serve_forever(host: str, port: int, cfg: StereoConfig) -> None:
+    srv = make_server(host, port, cfg)
+    import jax
+
+    print(f"stereo server on {srv.server_address[0]}:"
+          f"{srv.server_address[1]} (backend {jax.default_backend()}); "
+          "POST /disparity, GET /healthz", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        print("stereo server shutting down", flush=True)
+    finally:
+        srv.server_close()
