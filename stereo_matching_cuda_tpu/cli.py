@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernels — compile once per process and stay warm")
     p.add_argument("--serve-host", default="127.0.0.1",
                    help="bind address for --serve (default 127.0.0.1)")
+    p.add_argument("--serve-ranges", default=None, metavar="MIN:MAX[,...]",
+                   help="allowlist of per-request d_min:d_max overrides for "
+                        "--serve (e.g. '-15:0,-63:0'); others get 403 "
+                        "instead of a minutes-long in-request jit compile. "
+                        "Default: any range allowed")
     return p
 
 
@@ -241,7 +246,20 @@ def main(argv=None) -> int:
                 return 2
         from .serve import serve_forever
 
-        serve_forever(args.serve_host, args.serve, cfg)
+        ranges = None
+        if args.serve_ranges:
+            try:
+                ranges = [tuple(int(v) for v in part.split(":"))
+                          for part in args.serve_ranges.split(",")]
+                if any(len(r) != 2 for r in ranges):
+                    raise ValueError
+            except ValueError:
+                print(f"error: bad --serve-ranges {args.serve_ranges!r} "
+                      "(want MIN:MAX[,MIN:MAX...])", file=sys.stderr)
+                return 2
+            # the configured range is always servable
+            ranges.append((cfg.d_min, cfg.d_max))
+        serve_forever(args.serve_host, args.serve, cfg, ranges)
         return 0
     if args.left is None:
         print("error: left image is required (or use --eval/--serve)",

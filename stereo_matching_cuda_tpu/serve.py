@@ -14,6 +14,18 @@ Protocol (JSON over HTTP, images base64):
                                "frames_served", "uptime_s"}
   POST /disparity           body {"left": b64, "right": b64,
                                optional "d_min", "d_max"}
+
+Request bodies above 256 MB are rejected with 413 before reading.
+
+Per-request "d_min"/"d_max" overrides are honored but EXPENSIVE on a
+cold cache: each new (image shape, disparity range) jit-compiles a
+fresh executable while the device lock is held — minutes per new
+combination on the axon remote-compile backend (BENCH.md) — stalling
+every concurrent /disparity request behind it and growing the
+in-process jit cache.  Deployments that cannot afford that pass
+`allowed_d_ranges` (a set of (d_min, d_max) pairs; CLI
+`--serve-ranges`) and non-allowlisted overrides get 403 instead of a
+compile.
        → {"disparity_png": b64 uint8 PNG (write_mat-normalized, the
           reference's artifact convention), "disparity_pfm": b64 PFM
           (raw float disparities incl. the -115 occlusion fill),
@@ -38,6 +50,11 @@ import numpy as np
 
 from .config import StereoConfig
 from .metrics import occlusion_stats
+
+# One POST buffers the raw body plus its base64-decoded copy before any
+# validation; cap it so a single oversized request cannot OOM the
+# long-lived serving process (a 6 MP RGB pair is ~50 MB as base64 PNG).
+_MAX_BODY_BYTES = 256 << 20
 
 
 def _decode_image(b64: str) -> np.ndarray:
@@ -77,12 +94,18 @@ class StereoServer(ThreadingHTTPServer):
 
     daemon_threads = True
 
-    def __init__(self, addr, cfg: StereoConfig):
+    def __init__(self, addr, cfg: StereoConfig, allowed_d_ranges=None):
         super().__init__(addr, _Handler)
         self.cfg = cfg
         self.lock = threading.Lock()   # serialize device work
+        self.stats_lock = threading.Lock()
         self.frames_served = 0
         self.t_start = time.time()
+        # None = any override allowed (each new range pays a compile);
+        # else a collection of permitted (d_min, d_max) pairs.
+        self.allowed_d_ranges = (
+            None if allowed_d_ranges is None
+            else {(int(a), int(b)) for a, b in allowed_d_ranges})
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -118,6 +141,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(404, {"error": f"unknown path {self.path}"})
         try:
             n = int(self.headers.get("Content-Length", "0"))
+            if n > _MAX_BODY_BYTES:
+                return self._reply(413, {
+                    "error": f"body {n} bytes exceeds the "
+                             f"{_MAX_BODY_BYTES}-byte limit"})
             req = json.loads(self.rfile.read(n))
             left = _decode_image(req["left"])
             right = _decode_image(req["right"])
@@ -130,9 +157,20 @@ class _Handler(BaseHTTPRequestHandler):
             import dataclasses
 
             if "d_min" in req or "d_max" in req:
-                cfg = dataclasses.replace(
-                    cfg, d_min=int(req.get("d_min", cfg.d_min)),
-                    d_max=int(req.get("d_max", cfg.d_max)))
+                d_min = req.get("d_min", cfg.d_min)
+                d_max = req.get("d_max", cfg.d_max)
+                if not all(isinstance(v, int) and not isinstance(v, bool)
+                           for v in (d_min, d_max)):
+                    raise ValueError(
+                        f"d_min/d_max must be integers, got "
+                        f"{d_min!r}/{d_max!r}")
+                allowed = self.server.allowed_d_ranges
+                if allowed is not None and (d_min, d_max) not in allowed:
+                    return self._reply(403, {
+                        "error": f"disparity range ({d_min}, {d_max}) not "
+                                 f"in the server allowlist "
+                                 f"{sorted(allowed)}"})
+                cfg = dataclasses.replace(cfg, d_min=d_min, d_max=d_max)
             if left.ndim != 3 or left.shape != right.shape:
                 raise ValueError(
                     f"need same-shaped color pairs, got {left.shape} vs "
@@ -147,6 +185,9 @@ class _Handler(BaseHTTPRequestHandler):
             dt = time.time() - t0
         except (ValueError, NotImplementedError) as e:
             return self._reply(400, {"error": str(e)})
+        except Exception as e:  # unexpected (jax runtime, OOM, ...): the
+            # request must still get an HTTP response, not a dropped socket
+            return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
         filled = out["occlusion_filled"].astype(np.float32)
 
         from .utils.io import write_mat_normalize, write_png
@@ -154,7 +195,8 @@ class _Handler(BaseHTTPRequestHandler):
 
         png_b64 = _encode_file(write_png, write_mat_normalize(filled))
         pfm_b64 = _encode_file(write_pfm, filled)
-        self.server.frames_served += 1
+        with self.server.stats_lock:
+            self.server.frames_served += 1
         self._reply(200, {
             "disparity_png": png_b64,
             "disparity_pfm": pfm_b64,
@@ -165,12 +207,14 @@ class _Handler(BaseHTTPRequestHandler):
         })
 
 
-def make_server(host: str, port: int, cfg: StereoConfig) -> StereoServer:
-    return StereoServer((host, port), cfg)
+def make_server(host: str, port: int, cfg: StereoConfig,
+                allowed_d_ranges=None) -> StereoServer:
+    return StereoServer((host, port), cfg, allowed_d_ranges)
 
 
-def serve_forever(host: str, port: int, cfg: StereoConfig) -> None:
-    srv = make_server(host, port, cfg)
+def serve_forever(host: str, port: int, cfg: StereoConfig,
+                  allowed_d_ranges=None) -> None:
+    srv = make_server(host, port, cfg, allowed_d_ranges)
     import jax
 
     print(f"stereo server on {srv.server_address[0]}:"

@@ -135,6 +135,8 @@ def read_tga(path: str) -> np.ndarray:
             hdr = data[pos]
             pos += 1
             count = (hdr & 0x7F) + 1
+            if filled + count > n_px:
+                raise ValueError(f"{path}: TGA RLE overruns the image")
             if hdr & 0x80:                      # run: one pixel repeated
                 val = np.frombuffer(data, np.uint8, nbytes, pos)
                 pos += nbytes
@@ -144,8 +146,6 @@ def read_tga(path: str) -> np.ndarray:
                 pos += count * nbytes
                 px[filled : filled + count] = lit.reshape(count, nbytes)
             filled += count
-        if filled != n_px:
-            raise ValueError(f"{path}: TGA RLE overruns the image")
 
     img = px.reshape(h, w, nbytes)
     if not (desc & 0x20):                       # bit 5 clear = bottom-up

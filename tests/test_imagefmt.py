@@ -190,6 +190,22 @@ def test_tga_rle_gray(tmp_path):
                                   np.array([[77, 77, 5, 9]], np.uint8))
 
 
+@pytest.mark.parametrize("packet", [
+    bytes([0x80 | 5, 77]),                # run of 6 into a 4-px image
+    bytes([5, 1, 2, 3, 4, 5, 6]),         # 6 literals into a 4-px image
+])
+def test_tga_rle_overrun_message(tmp_path, packet):
+    """Overruning RLE packets (run AND literal) must raise the
+    path-labeled error, not a raw numpy broadcast error (ADVICE r3)."""
+    w, h = 4, 1
+    header = struct.pack("<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0,
+                         w, h, 8, 0x20)
+    p = tmp_path / "over.tga"
+    p.write_bytes(header + packet)
+    with pytest.raises(ValueError, match="TGA RLE overruns"):
+        imagefmt.read_tga(str(p))
+
+
 def test_bmp_pair_through_cli(tmp_path):
     """End-to-end: a BMP stereo pair through the CLI produces the same
     disparity as the same pixels via PNG."""

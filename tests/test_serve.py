@@ -137,6 +137,49 @@ def test_shape_mismatch_rejected(server):
     assert e.value.code == 400
 
 
+def test_null_range_rejected_400(server):
+    # a non-int d_min must be a clean 400, not an escaped TypeError that
+    # drops the connection (ADVICE r3)
+    left, right = _pair()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"left": _b64_png(left), "right": _b64_png(right),
+                       "d_min": None})
+    assert e.value.code == 400
+    assert "must be integers" in json.loads(e.value.read())["error"]
+
+
+def test_oversized_body_413(server):
+    # the server must reject on the Content-Length header BEFORE
+    # buffering the body (ADVICE r3); send the header with a tiny body
+    url = f"http://127.0.0.1:{server.server_address[1]}/disparity"
+    req = urllib.request.Request(
+        url, data=b"{}", headers={"Content-Type": "application/json"})
+    req.add_unredirected_header("Content-Length", str(1 << 30))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 413
+
+
+def test_range_allowlist_403():
+    srv = make_server("127.0.0.1", 0, StereoConfig(d_min=-7, d_max=0),
+                      allowed_d_ranges=[(-7, 0), (-3, 0)])
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        left, right = _pair()
+        rep = _post(srv, {"left": _b64_png(left), "right": _b64_png(right),
+                          "d_min": -3, "d_max": 0})
+        assert rep["height"] == 40
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, {"left": _b64_png(left), "right": _b64_png(right),
+                        "d_min": -5, "d_max": 0})
+        assert e.value.code == 403
+        assert "allowlist" in json.loads(e.value.read())["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(
