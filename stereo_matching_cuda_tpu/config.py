@@ -119,6 +119,16 @@ class StereoConfig:
     # fast-path accuracy class, tested bounded).  None = the module
     # default (hardware-measured winner), True/False force.
     sw_pipeline: Optional[bool] = None
+    # Streaming-y (strip-carry) fused kernel: grid programs walk each
+    # x-column top-to-bottom and carry the last ~2R rows of every
+    # per-slice x-window sum (cost, I·cost, a, b) in persistent VMEM
+    # scratch, so no strip recomputes its neighbor's halo rows — the
+    # y-direction issued-work ratio drops to ~1 (the output lags the
+    # input by 2R rows; the wrapper crops the lag).  Same math, fused
+    # fast-path accuracy class.  None = the module default
+    # (hardware-measured winner per frame regime — BENCH.md round 4);
+    # True/False force.
+    stream: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -160,6 +170,9 @@ class StereoConfig:
             raise ValueError(
                 f"sw_pipeline must be None, True or False, "
                 f"got {self.sw_pipeline!r}")
+        if self.stream not in (None, True, False):
+            raise ValueError(
+                f"stream must be None, True or False, got {self.stream!r}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

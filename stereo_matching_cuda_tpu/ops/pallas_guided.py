@@ -562,6 +562,28 @@ def guided_wta_fused(
     halo_y, px = fused_geometry(cfg)
     if not (-px <= dmin <= px):
         raise ValueError(f"dmin {dmin} exceeds the kernel's shift budget {px}")
+    if use_stream(cfg):
+        A = _stream_carry(cfg.radius)
+        sh, tw = _pick_tiles_stream(H, W, px, cfg.radius, cfg.size_d,
+                                    _vmem_params(cfg)[0],
+                                    _stream_n_live(cfg))
+        w_ext = ((tw + 2 * px + 127) // 128) * 128
+        nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
+        nx = (W + tw - 1) // tw
+        width = max((nx - 1) * tw + w_ext, W + 2 * px + abs(dmin))
+        height = max(nyp * sh + A, 2 * A + H)
+
+        def prep_s(g, xoff):
+            I = g.astype(jnp.float32)
+            if batched:
+                P = jnp.zeros((g.shape[0], height, width), jnp.float32)
+                return jax.lax.dynamic_update_slice(P, I, (0, 2 * A, xoff))
+            P = jnp.zeros((height, width), jnp.float32)
+            return jax.lax.dynamic_update_slice(P, I, (2 * A, xoff))
+
+        origin = jnp.array([0, 0, dmin], jnp.int32)
+        return _stream_tiles(prep_s(gray1, px), prep_s(gray2, px - dmin),
+                             origin, cfg, H, W, H, W, px, sh, tw)
     sh, tw = _pick_tiles(H, W, px, halo_y,
                          vmem_budget=_vmem_params(cfg)[0],
                          n_live=_n_live(cfg))
@@ -586,6 +608,321 @@ def guided_wta_fused(
     # static slice-s shifts read I2 at gx + dmin + s
     return _fused_tiles(prep(gray1, px), prep(gray2, px - dmin), origin, cfg,
                         H, W, H, W, halo_y, px, sh, tw)
+
+
+# ---------------------------------------------------------------------
+# Streaming-y (strip-carry) kernel
+#
+# The round-3 finding (BENCH.md): Mosaic schedules no VPU/MXU overlap,
+# so the kernel runs at the speed of the work it ISSUES, and the gap to
+# the roofline is HALO RECOMPUTE — every (y-strip, x-tile) program of
+# the kernels above recomputes 2*halo_y = 48 rows of cost, x-sums and
+# coefficients that its y-neighbors also compute.  This kernel variant
+# removes the y-halo entirely: TPU grid programs run sequentially on a
+# core and VMEM scratch persists across them, so programs walk each
+# x-column top-to-bottom and carry the last A (= 2R rounded to the
+# 8-sublane tile) rows of every per-slice x-window sum — cost, I·cost,
+# a, b, plus the guide's I, I² — in persistent scratch.  Each strip
+# then computes exactly ``sh`` NEW rows of every quantity:
+#
+#   new cost/x-sum rows   Rc(ty) = [ty·sh - A,      ty·sh - A + sh)
+#   new mean/a/b rows     Rm(ty) = Rc - R           (lags by R)
+#   new q/WTA rows        Rq(ty) = Rc - 2R          (lags by 2R)
+#
+# The output therefore lags the input by A + 2R rows; the wrapper crops
+# the lag.  The DMA window is padded rows [ty·sh, ty·sh + sh + A) — the
+# image is placed at padded row 2A, so out-of-image rows above the frame
+# (or above a shard's halo) are zeros, and the zero-initialized carries
+# at ty == 0 are exactly the true x-sums of those rows (every q row the
+# crop keeps reaches at most 2R <= A rows above the first new row).
+# Same per-slice math as _make_kernel; the y-sum contraction shapes
+# differ (band matmul (sh, sh+A) instead of (she, she)), so WTA
+# near-ties may flip — the documented fused fast-path accuracy class.
+# ---------------------------------------------------------------------
+
+
+def _stream_carry(r: int) -> int:
+    """Carry rows A: the 2R cross-strip reach rounded up to the f32
+    sublane tile (DMA slices and carry copies stay (8,128)-aligned)."""
+    return ((2 * r + 7) // 8) * 8
+
+
+# Live ext-row-buffer estimates for the streaming kernel, in units of
+# (sh + A, w_ext) f32 buffers (calibrated on hardware like _N_LIVE).
+_N_LIVE_STREAM_FORI = 30
+_N_LIVE_STREAM_UNROLL = 46
+
+
+def _stream_n_live(cfg: StereoConfig, n_slices: int | None = None) -> int:
+    size = cfg.size_d if n_slices is None else n_slices
+    return (_N_LIVE_STREAM_FORI if size > unroll_max(cfg)
+            else _N_LIVE_STREAM_UNROLL)
+
+
+def use_stream(cfg: StereoConfig) -> bool:
+    if cfg.stream is not None:
+        return cfg.stream
+    return _STREAM
+
+
+def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
+                       vmem_budget: int, n_live: int) -> tuple[int, int]:
+    """(strip_height, tile_width) for the streaming kernel.
+
+    With the y-halo gone, the issued work per column is ny'·sh rows ≈
+    h + A + 2R + ceil waste regardless of sh, so the objective is the
+    x-ratio (wte/tw + ceil waste) with a small per-strip charge
+    (carry copies + the A-row DMA overlap) that prefers taller strips;
+    ties prefer fewer programs."""
+    A = _stream_carry(r)
+    best = None
+    tws = sorted({tw for tw in (w, 3072, 2560, 2048, 1792, 1536, 1280,
+                                1024, 896, 768, 640, 512, 384, 256)
+                  if tw <= w})
+    shs = [s for s in (512, 448, 384, 320, 256, 224, 192, 160, 128, 96,
+                       64, 48, 32) if s <= max(32, h + A + 2 * r)]
+    carry_bufs = 4 * size_d + 2
+    for tw in tws:
+        wte = ((tw + 2 * px + 127) // 128) * 128
+        nx = (w + tw - 1) // tw
+        for sh in shs:
+            est = ((n_live * (sh + A) + carry_bufs * A) * wte
+                   + sh * (sh + A)) * 4
+            if est > vmem_budget:
+                continue
+            nyp = (h + A + 2 * r + sh - 1) // sh
+            # sh + A/2 charges the per-strip carry copies and DMA
+            # overlap against the sh new rows each strip computes
+            work = nx * wte * nyp * (sh + A / 2) / (h * w)
+            key = (work, nx * nyp)
+            if best is None or key < best[0]:
+                best = (key, sh, tw)
+    if best is None:
+        raise ValueError(
+            f"no streaming-kernel tiling fits the {vmem_budget/2**20:.1f} "
+            f"MB VMEM budget for image {h}x{w} (px={px}, size_d={size_d})")
+    return best[1], best[2]
+
+
+def _make_stream_kernel(cfg: StereoConfig, H: int, W: int,
+                        sh: int, tw: int, nx: int, nyp: int,
+                        px: int, w_ext: int,
+                        n_slices: int | None = None, lead: int = 0,
+                        nxy: int = 0):
+    """Streaming-y single-view kernel.  Grid order is x-column-major
+    with strips innermost (tx = tile // nyp, ty = tile % nyp), so the
+    persistent carry scratch walks each column top-to-bottom.  Scalar
+    prefetch and the dmin pre-shift convention match _make_kernel."""
+    r = cfg.radius
+    A = _stream_carry(r)
+    size_d = cfg.size_d if n_slices is None else n_slices
+    alpha = np.float32(cfg.alpha)
+    one = np.float32(1)
+    th_color = np.float32(cfg.th_color)
+    th_grad = np.float32(cfg.th_grad)
+    oob = (one - alpha) * th_color + alpha * th_grad
+    eps = np.float32(cfg.eps)
+    k = 2 * r + 1
+    sha = sh + A
+    impl = cfg.y_sum or _Y_SUM_IMPL
+
+    def kernel(origin_ref, i1_hbm, i2_hbm, best_ref, dmap_ref,
+               v1, v2, cg, c1a, c1b, c2a, c2b, sems):
+        tile = pl.program_id(0)
+        if nxy:
+            fb = tile // nxy
+            tile = tile % nxy
+        tx = tile // nyp
+        ty = tile % nyp
+        y0 = ty * sh - 2 * A + origin_ref[0]    # global row of DMA row 0
+        x0 = tx * tw - px + origin_ref[1]
+        dmin = origin_ref[2]
+        src1 = i1_hbm.at[fb] if nxy else i1_hbm
+        src2 = i2_hbm.at[fb] if nxy else i2_hbm
+        d1 = pltpu.make_async_copy(
+            src1.at[pl.ds(ty * sh, sha), pl.ds(tx * tw + lead, w_ext)],
+            v1, sems.at[0])
+        d2 = pltpu.make_async_copy(
+            src2.at[pl.ds(ty * sh, sha), pl.ds(tx * tw + lead, w_ext)],
+            v2, sems.at[1])
+        d1.start()
+        d2.start()
+
+        @pl.when(ty == 0)   # new column: carries represent rows whose
+        def _():            # true x-sums are zero (above the crop reach)
+            cg[...] = jnp.zeros_like(cg)
+            c1a[...] = jnp.zeros_like(c1a)
+            c1b[...] = jnp.zeros_like(c1b)
+            c2a[...] = jnp.zeros_like(c2a)
+            c2b[...] = jnp.zeros_like(c2b)
+
+        d1.wait()
+        d2.wait()
+        # local row bands of the (sha, w_ext) window:
+        #   cost rows  [A, sha)            ↔ global y0 + A + i
+        #   q rows     [A - 2r, A - 2r + sh) ↔ global y0 + A - 2r + i
+        I1c = v1[A:sha]
+        I2c = v2[A:sha]
+        I1q = v1[A - 2 * r : A - 2 * r + sh]
+
+        gxc = jax.lax.broadcasted_iota(jnp.int32, (sh, w_ext), 1) + x0
+        gyc = jax.lax.broadcasted_iota(jnp.int32, (sh, w_ext), 0) + (y0 + A)
+        in_img_c = (gxc >= 0) & (gxc < W) & (gyc >= 0) & (gyc < H)
+        gym = gyc - r
+        in_img_m = (gxc >= 0) & (gxc < W) & (gym >= 0) & (gym < H)
+
+        def area(gy):
+            ay = (jnp.minimum(H - 1, gy + r) - jnp.maximum(-1, gy - r - 1))
+            ax = (jnp.minimum(W - 1, gxc + r) - jnp.maximum(-1, gxc - r - 1))
+            return one / (ay * ax).astype(jnp.float32)
+
+        ia_m = area(gym)
+        ia_q = area(gyc - 2 * r)
+
+        xsum = lambda x: _roll(_forward_window_sum(x, k, 1), r, 1)
+        if impl == "roll":
+            def ysum2(ca, cb):
+                return [_forward_window_sum(t, k, 0)[A - 2 * r : A - 2 * r + sh]
+                        for t in (ca, cb)]
+        else:
+            m_band = _band_matrix_off(sh, sha, A - r, r)
+
+            def ysum2(ca, cb):
+                return _y_matmul_many(impl, m_band, [ca, cb], w_ext)
+
+        def deriv(I, g):
+            c1_ = jnp.where(g < W - 1, _shift_x_vmem(I, 1), I)
+            c2_ = jnp.where(g > 0, _shift_x_vmem(I, -1), I)
+            return (c2_ - c1_) * np.float32(0.5)
+
+        der1 = deriv(I1c, gxc)
+        der2 = deriv(I2c, gxc + dmin)
+
+        # guide statistics stream (slice-independent carry pair)
+        cat_i = jnp.concatenate([cg[0], xsum(I1c)], 0)
+        cat_ii = jnp.concatenate([cg[1], xsum(I1c * I1c)], 0)
+        cg[0] = cat_i[sh:sha]
+        cg[1] = cat_ii[sh:sha]
+        mean_i, mean_ii = [t * ia_m for t in ysum2(cat_i, cat_ii)]
+        var = mean_ii - mean_i * mean_i
+        c = one / (var + eps)
+
+        cropx = lambda t: t[:, px : px + tw]
+        I1qc = cropx(I1q)
+
+        def slice_update(s, I2s, d2s, best, dmap):
+            d = dmin + s
+            valid = (gxc + d >= 0) & (gxc + d < W)
+            cost = (one - alpha) * jnp.minimum(
+                jnp.abs(I1c - I2s), th_color) + (
+                alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
+            cost = jnp.where(in_img_c, jnp.where(valid, cost, oob), 0.0)
+            cat_c = jnp.concatenate([c1a[s], xsum(cost)], 0)
+            cat_ic = jnp.concatenate([c1b[s], xsum(I1c * cost)], 0)
+            c1a[s] = cat_c[sh:sha]
+            c1b[s] = cat_ic[sh:sha]
+            mp, mip = [t * ia_m for t in ysum2(cat_c, cat_ic)]
+            a = (mip - mean_i * mp) * c
+            b = mp - mean_i * a
+            a = jnp.where(in_img_m, a, 0.0)
+            b = jnp.where(in_img_m, b, 0.0)
+            cat_a = jnp.concatenate([c2a[s], xsum(a)], 0)
+            cat_b = jnp.concatenate([c2b[s], xsum(b)], 0)
+            c2a[s] = cat_a[sh:sha]
+            c2b[s] = cat_b[sh:sha]
+            ma, mb = [t * ia_q for t in ysum2(cat_a, cat_b)]
+            q = cropx(ma) * I1qc + cropx(mb)
+            upd = best >= q   # ascending d, >= : largest d wins ties
+            return (jnp.where(upd, q, best),
+                    jnp.where(upd, d.astype(jnp.float32), dmap))
+
+        best = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
+        dmap = jnp.zeros((sh, tw), jnp.float32)
+        if size_d <= unroll_max(cfg):
+            for s in range(size_d):
+                best, dmap = slice_update(
+                    s, _shift_x_vmem(I2c, s), _shift_x_vmem(der2, s),
+                    best, dmap)
+        else:
+            def body(s, carry):
+                I2s, d2s, best, dmap = carry
+                best, dmap = slice_update(s, I2s, d2s, best, dmap)
+                return (_shift_x_vmem(I2s, 1), _shift_x_vmem(d2s, 1),
+                        best, dmap)
+
+            _, _, best, dmap = jax.lax.fori_loop(
+                0, size_d, body, (I2c, der2, best, dmap))
+
+        best_ref[0] = best
+        dmap_ref[0] = dmap
+
+    return kernel
+
+
+def _stream_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
+                  px, sh, tw, n_slices=None, lead=0):
+    """Run the streaming kernel over pre-padded local images whose
+    interior origin sits at padded row 2A (column convention as
+    _fused_tiles).  Returns (best, dmap) of (out_h, out_w); a leading
+    frame axis yields (nb, out_h, out_w)."""
+    r = cfg.radius
+    A = _stream_carry(r)
+    size_d = cfg.size_d if n_slices is None else n_slices
+    w_ext = ((tw + 2 * px + 127) // 128) * 128
+    nyp = (out_h + A + 2 * r + sh - 1) // sh
+    nx = (out_w + tw - 1) // tw
+    nb = p1.shape[0] if p1.ndim == 3 else 0
+    n_prog = max(nb, 1) * nx * nyp
+
+    kernel = _make_stream_kernel(cfg, Hg, Wg, sh, tw, nx, nyp, px, w_ext,
+                                 n_slices, lead,
+                                 nxy=nx * nyp if nb else 0)
+    _, vmem_limit = _vmem_params(cfg)
+    best, dmap = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+            dimension_semantics=("arbitrary",)),   # sequential grid: the
+        # carry scratch is only valid walking each column in order
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_prog,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((sh + A, w_ext), jnp.float32),
+                pltpu.VMEM((sh + A, w_ext), jnp.float32),
+                pltpu.VMEM((2, A, w_ext), jnp.float32),
+                pltpu.VMEM((size_d, A, w_ext), jnp.float32),
+                pltpu.VMEM((size_d, A, w_ext), jnp.float32),
+                pltpu.VMEM((size_d, A, w_ext), jnp.float32),
+                pltpu.VMEM((size_d, A, w_ext), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, sh, tw), lambda i, ref: (i, 0, 0)),
+                pl.BlockSpec((1, sh, tw), lambda i, ref: (i, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_prog, sh, tw), jnp.float32),
+            jax.ShapeDtypeStruct((n_prog, sh, tw), jnp.float32),
+        ],
+    )(origin, p1, p2)
+
+    lag = A + 2 * r
+
+    def untile(t):
+        if nb:
+            t = t.reshape(nb, nx, nyp, sh, tw).transpose(0, 2, 3, 1, 4)
+            t = t.reshape(nb, nyp * sh, nx * tw)
+            return t[:, lag : lag + out_h, :out_w]
+        t = t.reshape(nx, nyp, sh, tw).transpose(1, 2, 0, 3)
+        return t.reshape(nyp * sh, nx * tw)[lag : lag + out_h, :out_w]
+
+    return untile(best), untile(dmap)
 
 
 def dual_geometry(cfg: StereoConfig) -> tuple[int, int]:
@@ -848,6 +1185,10 @@ _SLICE_GROUP = int(os.environ.get("STEREO_SLICE_GROUP", "1"))
 # env override for benching.
 _SW_PIPELINE = os.environ.get("STEREO_SW_PIPELINE", "0") == "1"
 
+# Streaming-y strip-carry kernel default (see StereoConfig.stream); env
+# override for benching.
+_STREAM = os.environ.get("STEREO_STREAM", "0") == "1"
+
 # VMEM live-buffer estimate for the dual kernel's unrolled loop (two
 # guided chains per slice; calibrated on hardware — see BENCH.md)
 _DUAL_N_LIVE = 70
@@ -1037,6 +1378,40 @@ def guided_wta_fused_local(
     batched = gray1_ext.ndim == 3
     assert gray1_ext.shape[-2] == tile_h + 2 * halo_y, gray1_ext.shape
     assert gray1_ext.shape[-1] == tile_w + 2 * px, gray1_ext.shape
+    if use_stream(cfg):
+        A = _stream_carry(cfg.radius)
+        # ext tile rows start at interior row -halo_y ↔ padded 2A-halo_y
+        assert 2 * A >= halo_y, (A, halo_y)
+        sh, tw = _pick_tiles_stream(tile_h, tile_w, px, cfg.radius,
+                                    n_slices or cfg.size_d,
+                                    _vmem_params(cfg)[0],
+                                    _stream_n_live(cfg, n_slices))
+        w_ext = ((tw + 2 * px + 127) // 128) * 128
+        nyp = (tile_h + A + 2 * cfg.radius + sh - 1) // sh
+        nx = (tile_w + tw - 1) // tw
+        lead = px
+        width = lead + max((nx - 1) * tw + w_ext, tile_w + 2 * px) + px
+        height = max(nyp * sh + A,
+                     2 * A - halo_y + gray1_ext.shape[-2])
+
+        def prep_s(g, xoff):
+            if batched:
+                P = jnp.zeros((g.shape[0], height, width), jnp.float32)
+                return jax.lax.dynamic_update_slice(
+                    P, g.astype(jnp.float32),
+                    (jnp.int32(0), jnp.int32(2 * A - halo_y),
+                     jnp.int32(xoff)))
+            P = jnp.zeros((height, width), jnp.float32)
+            return jax.lax.dynamic_update_slice(
+                P, g.astype(jnp.float32),
+                (jnp.int32(2 * A - halo_y), jnp.int32(xoff)))
+
+        origin = jnp.stack(
+            [jnp.int32(origin_y), jnp.int32(origin_x), jnp.int32(dmin)])
+        return _stream_tiles(prep_s(gray1_ext, lead),
+                             prep_s(gray2_ext, lead - jnp.int32(dmin)),
+                             origin, cfg, global_h, global_w,
+                             tile_h, tile_w, px, sh, tw, n_slices, lead)
     sh, tw = _pick_tiles(tile_h, tile_w, px, halo_y,
                          vmem_budget=_vmem_params(cfg)[0],
                          n_live=_n_live(cfg, n_slices))
