@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dual-view kernel software pipelining (bit-exact "
                         "emission reorder for VPU/MXU overlap; default: "
                         "module default)")
+    p.add_argument("--stream", choices=["on", "off"], default=None,
+                   help="streaming-y strip-carry fused kernel (persistent "
+                        "VMEM carries kill y-halo recompute — BENCH.md r4; "
+                        "default: module default per frame regime)")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",
@@ -209,6 +213,7 @@ def main(argv=None) -> int:
             slice_group=args.slice_group, unroll_max=args.unroll_max,
             sw_pipeline=None if args.sw_pipeline is None
             else args.sw_pipeline == "on",
+            stream=None if args.stream is None else args.stream == "on",
         )
     except ValueError as e:   # config validation (config.py __post_init__)
         print(f"error: {e}", file=sys.stderr)

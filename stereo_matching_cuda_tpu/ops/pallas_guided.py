@@ -666,7 +666,8 @@ def use_stream(cfg: StereoConfig) -> bool:
 
 
 def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
-                       vmem_budget: int, n_live: int) -> tuple[int, int]:
+                       vmem_budget: int, n_live: int,
+                       carry_bufs: int | None = None) -> tuple[int, int]:
     """(strip_height, tile_width) for the streaming kernel.
 
     With the y-halo gone, the issued work per column is ny'·sh rows ≈
@@ -681,7 +682,8 @@ def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
                   if tw <= w})
     shs = [s for s in (512, 448, 384, 320, 256, 224, 192, 160, 128, 96,
                        64, 48, 32) if s <= max(32, h + A + 2 * r)]
-    carry_bufs = 4 * size_d + 2
+    if carry_bufs is None:
+        carry_bufs = 4 * size_d + 2
     for tw in tws:
         wte = ((tw + 2 * px + 127) // 128) * 128
         nx = (w + tw - 1) // tw
@@ -935,6 +937,212 @@ def dual_geometry(cfg: StereoConfig) -> tuple[int, int]:
     halo_y = ((2 * (r + 1) + 2) + 7) // 8 * 8
     reach = max(0, cfg.d_max) + max(0, -cfg.d_min)
     return halo_y, reach + 1 + 2 * (r + 1)
+
+
+def _make_dual_stream_kernel(cfg: StereoConfig, H: int, W: int,
+                             sh: int, tw: int, nx: int, nyp: int,
+                             px: int, w_ext: int, nxy: int = 0):
+    """Streaming-y DUAL-VIEW kernel: the strip-carry walk of
+    _make_stream_kernel applied to the dual kernel's shared-work scheme
+    (one DMA, shared derivatives and raw cost; per-view guide chains;
+    left labels ascending `>=`, right labels descending strict `>` —
+    see _make_dual_kernel).  Carries per slice: 4 phase-1 x-sums
+    (cost·{1,I} × both views) + 4 phase-2 x-sums (a/b × both views),
+    plus 4 guide carries (I, I² × both views)."""
+    r = cfg.radius
+    A = _stream_carry(r)
+    size_d = cfg.size_d
+    dmin = cfg.d_min
+    alpha = np.float32(cfg.alpha)
+    one = np.float32(1)
+    th_color = np.float32(cfg.th_color)
+    th_grad = np.float32(cfg.th_grad)
+    oob = (one - alpha) * th_color + alpha * th_grad
+    eps = np.float32(cfg.eps)
+    k = 2 * r + 1
+    sha = sh + A
+    impl = cfg.y_sum or _Y_SUM_IMPL
+
+    def kernel(origin_ref, i1_hbm, i2_hbm,
+               best_l_ref, dmap_l_ref, best_r_ref, dmap_r_ref,
+               v1, v2, cg, cp1, cp2, sems):
+        tile = pl.program_id(0)
+        if nxy:
+            fb = tile // nxy
+            tile = tile % nxy
+        tx = tile // nyp
+        ty = tile % nyp
+        y0 = ty * sh - 2 * A + origin_ref[0]
+        x0 = tx * tw - px + origin_ref[1]
+        src1 = i1_hbm.at[fb] if nxy else i1_hbm
+        src2 = i2_hbm.at[fb] if nxy else i2_hbm
+        d1 = pltpu.make_async_copy(
+            src1.at[pl.ds(ty * sh, sha), pl.ds(tx * tw, w_ext)],
+            v1, sems.at[0])
+        d2 = pltpu.make_async_copy(
+            src2.at[pl.ds(ty * sh, sha), pl.ds(tx * tw, w_ext)],
+            v2, sems.at[1])
+        d1.start()
+        d2.start()
+
+        @pl.when(ty == 0)
+        def _():
+            cg[...] = jnp.zeros_like(cg)
+            cp1[...] = jnp.zeros_like(cp1)
+            cp2[...] = jnp.zeros_like(cp2)
+
+        d1.wait()
+        d2.wait()
+        I1c = v1[A:sha]
+        I2c = v2[A:sha]
+        I1q = v1[A - 2 * r : A - 2 * r + sh]
+        I2q = v2[A - 2 * r : A - 2 * r + sh]
+
+        gxc = jax.lax.broadcasted_iota(jnp.int32, (sh, w_ext), 1) + x0
+        gyc = jax.lax.broadcasted_iota(jnp.int32, (sh, w_ext), 0) + (y0 + A)
+        in_img_c = (gxc >= 0) & (gxc < W) & (gyc >= 0) & (gyc < H)
+        gym = gyc - r
+        in_img_m = (gxc >= 0) & (gxc < W) & (gym >= 0) & (gym < H)
+
+        def area(gy):
+            ay = (jnp.minimum(H - 1, gy + r) - jnp.maximum(-1, gy - r - 1))
+            ax = (jnp.minimum(W - 1, gxc + r) - jnp.maximum(-1, gxc - r - 1))
+            return one / (ay * ax).astype(jnp.float32)
+
+        ia_m = area(gym)
+        ia_q = area(gyc - 2 * r)
+
+        xsum = lambda x: _roll(_forward_window_sum(x, k, 1), r, 1)
+        if impl == "roll":
+            def ysum4(cats):
+                return [_forward_window_sum(t, k, 0)
+                        [A - 2 * r : A - 2 * r + sh] for t in cats]
+        else:
+            m_band = _band_matrix_off(sh, sha, A - r, r)
+
+            def ysum4(cats):
+                return _y_matmul_many(impl, m_band, cats, w_ext)
+
+        def deriv(I):
+            c1_ = jnp.where(gxc < W - 1, _shift_x_vmem(I, 1), I)
+            c2_ = jnp.where(gxc > 0, _shift_x_vmem(I, -1), I)
+            return (c2_ - c1_) * np.float32(0.5)
+
+        der1 = deriv(I1c)
+        der2 = deriv(I2c)
+
+        # per-view guide statistic streams
+        cats_g = [jnp.concatenate([cg[j], sx], 0) for j, sx in enumerate(
+            [xsum(I1c), xsum(I1c * I1c), xsum(I2c), xsum(I2c * I2c)])]
+        for j in range(4):
+            cg[j] = cats_g[j][sh:sha]
+        mean_i1, mean_ii1, mean_i2, mean_ii2 = [
+            t * ia_m for t in ysum4(cats_g)]
+        c1 = one / (mean_ii1 - mean_i1 * mean_i1 + eps)
+        c2 = one / (mean_ii2 - mean_i2 * mean_i2 + eps)
+
+        cropx = lambda t: t[:, px : px + tw]
+        I1qc = cropx(I1q)
+        I2qc = cropx(I2q)
+
+        def phase1(s, raw_l, raw_r):
+            """Both views' masked cost slices → phase-1 streamed means."""
+            d = dmin + s
+            valid_l = (gxc + d >= 0) & (gxc + d < W)
+            cost_l = jnp.where(in_img_c, jnp.where(valid_l, raw_l, oob), 0.0)
+            valid_r = (gxc - d >= 0) & (gxc - d < W)
+            cost_r = jnp.where(in_img_c, jnp.where(valid_r, raw_r, oob), 0.0)
+            sxs = [xsum(t) for t in
+                   (cost_l, I1c * cost_l, cost_r, I2c * cost_r)]
+            cats = [jnp.concatenate([cp1[s, j], sxs[j]], 0) for j in range(4)]
+            for j in range(4):
+                cp1[s, j] = cats[j][sh:sha]
+            return [t * ia_m for t in ysum4(cats)]
+
+        def phase2(s, sums1, best_l, dmap_l, best_r, dmap_r):
+            d = dmin + s
+            mp_l, mip_l, mp_r, mip_r = sums1
+            a_l = (mip_l - mean_i1 * mp_l) * c1
+            b_l = mp_l - mean_i1 * a_l
+            a_r = (mip_r - mean_i2 * mp_r) * c2
+            b_r = mp_r - mean_i2 * a_r
+            abcd = [jnp.where(in_img_m, t, 0.0)
+                    for t in (a_l, b_l, a_r, b_r)]
+            cats = [jnp.concatenate([cp2[s, j], xsum(abcd[j])], 0)
+                    for j in range(4)]
+            for j in range(4):
+                cp2[s, j] = cats[j][sh:sha]
+            ma_l, mb_l, ma_r, mb_r = [t * ia_q for t in ysum4(cats)]
+            q = cropx(ma_l) * I1qc + cropx(mb_l)
+            upd = best_l >= q   # left labels ascending: largest d wins
+            best_l = jnp.where(upd, q, best_l)
+            dmap_l = jnp.where(upd, jnp.asarray(d, jnp.float32), dmap_l)
+            q = cropx(ma_r) * I2qc + cropx(mb_r)
+            upd = best_r > q    # right labels descending: strict >
+            best_r = jnp.where(upd, q, best_r)
+            dmap_r = jnp.where(upd, jnp.asarray(-d, jnp.float32), dmap_r)
+            return best_l, dmap_l, best_r, dmap_r
+
+        best_l = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
+        dmap_l = jnp.zeros((sh, tw), jnp.float32)
+        best_r = jnp.full((sh, tw), np.float32(BEST_COST_INIT), jnp.float32)
+        dmap_r = jnp.zeros((sh, tw), jnp.float32)
+
+        if size_d <= unroll_max(cfg):
+            for s in range(size_d):
+                d = dmin + s
+                I2s = _shift_x_vmem(I2c, d)
+                d2s = _shift_x_vmem(der2, d)
+                raw = (one - alpha) * jnp.minimum(
+                    jnp.abs(I1c - I2s), th_color) + (
+                    alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
+                raw_r = _roll(raw, d, 1)   # raw_r(x) = raw(x - d)
+                sums1 = phase1(s, raw, raw_r)
+                best_l, dmap_l, best_r, dmap_r = phase2(
+                    s, sums1, best_l, dmap_l, best_r, dmap_r)
+        else:
+            # wide-range fori branch: carried ±1 rolls for both views;
+            # the right view's raw cost recomputed from the
+            # counter-rolled left image (see _make_dual_kernel)
+            def body(s, carry):
+                I2s, d2s, I1s, d1s, best_l, dmap_l, best_r, dmap_r = carry
+                raw_l = (one - alpha) * jnp.minimum(
+                    jnp.abs(I1c - I2s), th_color) + (
+                    alpha * jnp.minimum(jnp.abs(der1 - d2s), th_grad))
+                raw_r = (one - alpha) * jnp.minimum(
+                    jnp.abs(I1s - I2c), th_color) + (
+                    alpha * jnp.minimum(jnp.abs(d1s - der2), th_grad))
+                sums1 = phase1(s, raw_l, raw_r)
+                best_l, dmap_l, best_r, dmap_r = phase2(
+                    s, sums1, best_l, dmap_l, best_r, dmap_r)
+                return (_shift_x_vmem(I2s, 1), _shift_x_vmem(d2s, 1),
+                        _shift_x_vmem(I1s, -1), _shift_x_vmem(d1s, -1),
+                        best_l, dmap_l, best_r, dmap_r)
+
+            carry = jax.lax.fori_loop(
+                0, size_d, body,
+                (_shift_x_vmem(I2c, dmin), _shift_x_vmem(der2, dmin),
+                 _shift_x_vmem(I1c, -dmin), _shift_x_vmem(der1, -dmin),
+                 best_l, dmap_l, best_r, dmap_r))
+            best_l, dmap_l, best_r, dmap_r = carry[4:]
+
+        best_l_ref[0] = best_l
+        dmap_l_ref[0] = dmap_l
+        best_r_ref[0] = best_r
+        dmap_r_ref[0] = dmap_r
+
+    return kernel
+
+
+# Live-buffer estimates for the dual streaming kernel, in (sh + A,
+# w_ext) f32 units (hardware-calibrated like _N_LIVE).
+_N_LIVE_DUAL_STREAM_UNROLL = 60
+_N_LIVE_DUAL_STREAM_FORI = 44
+
+
+def _dual_stream_n_live(cfg: StereoConfig) -> int:
+    return (_N_LIVE_DUAL_STREAM_FORI if cfg.size_d > unroll_max(cfg)
+            else _N_LIVE_DUAL_STREAM_UNROLL)
 
 
 def _make_dual_kernel(cfg: StereoConfig, H: int, W: int,
@@ -1273,6 +1481,78 @@ def _vmem_params(cfg: StereoConfig) -> tuple[int, int | None]:
     return int(mb * 0.98 * 2**20), int(mb * 2**20)
 
 
+def _dual_stream(gray_l, gray_r, cfg: StereoConfig, H, W, px, nb):
+    """Streaming-y dual-view path of guided_wta_fused_dual."""
+    batched = nb > 0
+    A = _stream_carry(cfg.radius)
+    size_d = cfg.size_d
+    sh, tw = _pick_tiles_stream(H, W, px, cfg.radius, size_d,
+                                _vmem_params(cfg)[0],
+                                _dual_stream_n_live(cfg),
+                                carry_bufs=8 * size_d + 4)
+    w_ext = ((tw + 2 * px + 127) // 128) * 128
+    nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
+    nx = (W + tw - 1) // tw
+    width = max((nx - 1) * tw + w_ext, W + 2 * px)
+    height = max(nyp * sh + A, 2 * A + H)
+    n_prog = max(nb, 1) * nx * nyp
+
+    def prep(g):
+        I = g.astype(jnp.float32)
+        if batched:
+            P = jnp.zeros((nb, height, width), jnp.float32)
+            return jax.lax.dynamic_update_slice(P, I, (0, 2 * A, px))
+        P = jnp.zeros((height, width), jnp.float32)
+        return jax.lax.dynamic_update_slice(P, I, (2 * A, px))
+
+    kernel = _make_dual_stream_kernel(cfg, H, W, sh, tw, nx, nyp, px,
+                                      w_ext, nxy=nx * nyp if batched else 0)
+    origin = jnp.array([0, 0], jnp.int32)
+    _, vmem_limit = _vmem_params(cfg)
+    outs = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+            dimension_semantics=("arbitrary",)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_prog,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((sh + A, w_ext), jnp.float32),
+                pltpu.VMEM((sh + A, w_ext), jnp.float32),
+                pltpu.VMEM((4, A, w_ext), jnp.float32),
+                pltpu.VMEM((size_d, 4, A, w_ext), jnp.float32),
+                pltpu.VMEM((size_d, 4, A, w_ext), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, sh, tw), lambda i, ref: (i, 0, 0))
+                for _ in range(4)
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_prog, sh, tw), jnp.float32)
+            for _ in range(4)
+        ],
+    )(origin, prep(gray_l), prep(gray_r))
+
+    lag = A + 2 * cfg.radius
+
+    def untile(t):
+        if batched:
+            t = t.reshape(nb, nx, nyp, sh, tw).transpose(0, 2, 3, 1, 4)
+            t = t.reshape(nb, nyp * sh, nx * tw)
+            return t[:, lag : lag + H, :W]
+        t = t.reshape(nx, nyp, sh, tw).transpose(1, 2, 0, 3)
+        return t.reshape(nyp * sh, nx * tw)[lag : lag + H, :W]
+
+    return tuple(untile(t) for t in outs)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def guided_wta_fused_dual(
     gray_l: jax.Array,
@@ -1292,6 +1572,8 @@ def guided_wta_fused_dual(
     batched = gray_l.ndim == 3
     nb = gray_l.shape[0] if batched else 0
     halo_y, px = dual_geometry(cfg)
+    if use_stream(cfg):
+        return _dual_stream(gray_l, gray_r, cfg, H, W, px, nb)
     sh, tw = _pick_tiles(H, W, px, halo_y,
                          vmem_budget=_vmem_params(cfg)[0],
                          n_live=_dual_n_live(cfg))

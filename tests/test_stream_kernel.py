@@ -172,6 +172,86 @@ def test_stream_tsukuba_near_parity(tsukuba):
     assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
 
 
+def _dual(g1, g2, cfg):
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    outs = pg.guided_wta_fused_dual.__wrapped__(
+        jnp.asarray(g1), jnp.asarray(g2), cfg)
+    return [np.asarray(t) for t in outs]
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (40, 384)])
+def test_dual_stream_matches_oracle(shape):
+    g1, g2 = _pair(*shape)
+    wb_l, wd_l = _oracle(g1, g2, CFG)
+    wb_r, wd_r = _oracle(g2, g1, CFG, CFG.d_min_right)
+    bl, dl, br, dr = _dual(g1, g2, CFG)
+    for got_d, got_b, want_d, want_b, name in [
+            (dl, bl, wd_l, wb_l, "left"), (dr, br, wd_r, wb_r, "right")]:
+        mism = int((got_d != want_d).sum())
+        assert mism <= max(4, got_d.size * 2e-3), f"{name}: {mism}"
+        np.testing.assert_allclose(got_b, want_b, atol=2e-3, rtol=1e-4,
+                                   err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["roll", "mxu3"])
+def test_dual_stream_y_sum_variants(impl):
+    cfg = dataclasses.replace(CFG, y_sum=impl)
+    g1, g2 = _pair(48, 130, seed=9)
+    _, wd_l = _oracle(g1, g2, cfg)
+    _, wd_r = _oracle(g2, g1, cfg, cfg.d_min_right)
+    _, dl, _, dr = _dual(g1, g2, cfg)
+    for got, want, name in [(dl, wd_l, "left"), (dr, wd_r, "right")]:
+        mism = int((got != want).sum())
+        assert mism <= max(4, want.size * 2e-3), f"{impl} {name}: {mism}"
+
+
+def test_dual_stream_fori_matches_oracle():
+    """The dual streaming fori branch (counter-rolled right view) must
+    stay in the fast-path class too."""
+    cfg = dataclasses.replace(CFG, unroll_max=4)
+    g1, g2 = _pair(64, 96, seed=7)
+    _, wd_l = _oracle(g1, g2, cfg)
+    _, wd_r = _oracle(g2, g1, cfg, cfg.d_min_right)
+    _, dl, _, dr = _dual(g1, g2, cfg)
+    for got, want, name in [(dl, wd_l, "left"), (dr, wd_r, "right")]:
+        mism = int((got != want).sum())
+        assert mism <= max(4, want.size * 2e-3), f"{name}: {mism}"
+
+
+def test_dual_stream_multi_strip(monkeypatch):
+    """Forced short strips chain both views' carries; strip seams must
+    stay seamless on BOTH maps."""
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    monkeypatch.setattr(pg, "_pick_tiles_stream", lambda *a, **k: (32, 160))
+    g1, g2 = _pair(160, 160, seed=13)
+    _, wd_l = _oracle(g1, g2, CFG)
+    _, wd_r = _oracle(g2, g1, CFG, CFG.d_min_right)
+    _, dl, _, dr = _dual(g1, g2, CFG)
+    for got, want, name in [(dl, wd_l, "left"), (dr, wd_r, "right")]:
+        mism = int((got != want).sum())
+        assert mism <= max(6, want.size * 3e-3), f"{name}: {mism}"
+        bad_rows = np.argwhere(got != want)[:, 0]
+        near_seam = (np.abs((bad_rows[:, None] % 32)
+                            - np.array([[0, 31]])) <= 1).any(1)
+        assert near_seam.sum() <= max(2, 0.3 * len(bad_rows)), name
+
+
+def test_dual_stream_batched_matches_per_frame():
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    frames = [_pair(48, 96, seed=s) for s in (1, 2)]
+    g1 = np.stack([f[0] for f in frames])
+    g2 = np.stack([f[1] for f in frames])
+    outs = pg.guided_wta_fused_dual.__wrapped__(
+        jnp.asarray(g1), jnp.asarray(g2), CFG)
+    for i, (f1, f2) in enumerate(frames):
+        single = _dual(f1, f2, CFG)
+        for bi, si in zip(outs, single):
+            np.testing.assert_array_equal(np.asarray(bi[i]), si)
+
+
 def test_stream_inside_shard_map(tsukuba):
     """Streaming kernel under spatial sharding: the local entry places
     the halo'd ext tile at padded row 2A - halo_y and the carry-zero
