@@ -149,14 +149,19 @@ def write_png(path: str, img: np.ndarray) -> None:
 
 
 def read_image(path: str) -> np.ndarray:
-    """Format-dispatching reader (magic bytes): PNG, PGM/PPM (P5/P6),
-    PFM (Pf/PF float — Middlebury ground-truth disparities), BMP, and
-    TGA (no magic — dispatched by .tga extension, as stb does).  The
-    reference's stb layer reads these alongside PNG."""
+    """Format-dispatching reader (magic bytes): PNG, JPEG (baseline),
+    PGM/PPM (P5/P6), PFM (Pf/PF float — Middlebury ground-truth
+    disparities), BMP, and TGA (no magic — dispatched by .tga
+    extension, as stb does).  The reference's stb layer reads these
+    alongside PNG."""
     with open(path, "rb") as f:
         magic = f.read(2)
     if magic == b"\x89P":
         return read_png(path)
+    if magic == b"\xff\xd8":
+        from . import jpeg
+
+        return jpeg.read_jpeg(path)
     if magic in (b"P5", b"P6"):
         from . import pnm
 
