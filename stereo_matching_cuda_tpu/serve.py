@@ -14,6 +14,11 @@ Protocol (JSON over HTTP, images base64):
                                "frames_served", "uptime_s"}
   POST /disparity           body {"left": b64, "right": b64,
                                optional "d_min", "d_max"}
+       → {"disparity_png": b64 uint8 PNG (write_mat-normalized, the
+          reference's artifact convention), "disparity_pfm": b64 PFM
+          (raw float disparities incl. the -115 occlusion fill),
+          "height", "width", "occluded_pixels", "occluded_pct",
+          "seconds"}
 
 Request bodies above 256 MB are rejected with 413 before reading.
 
@@ -26,13 +31,8 @@ in-process jit cache.  Deployments that cannot afford that pass
 `allowed_d_ranges` (a set of (d_min, d_max) pairs; CLI
 `--serve-ranges`) and non-allowlisted overrides get 403 instead of a
 compile.
-       → {"disparity_png": b64 uint8 PNG (write_mat-normalized, the
-          reference's artifact convention), "disparity_pfm": b64 PFM
-          (raw float disparities incl. the -115 occlusion fill),
-          "height", "width", "occluded_pixels", "occluded_pct",
-          "seconds"}
 
-Any decodable input format works (PNG/PNM/BMP/TGA — read_image's
+Any decodable input format works (PNG/JPEG/PNM/BMP/TGA — read_image's
 surface) — images are passed as bytes and sniffed the same way.
 """
 
