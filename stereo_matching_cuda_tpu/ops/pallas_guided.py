@@ -680,8 +680,17 @@ def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
     tws = sorted({tw for tw in (w, 3072, 2560, 2048, 1792, 1536, 1280,
                                 1024, 896, 768, 640, 512, 384, 256)
                   if tw <= w})
-    shs = [s for s in (512, 448, 384, 320, 256, 224, 192, 160, 128, 96,
-                       64, 48, 32) if s <= max(32, h + A + 2 * r)]
+    # strip-height candidates: a coarse fixed ladder PLUS the minimal
+    # 8-aligned height for each strip count — those are exactly the
+    # zero-ceil-waste points (e.g. 330 rows: 7x48, 3x112, 2x168),
+    # which the fixed ladder misses (measured at Tsukuba: (112,384)
+    # beats the ladder's (128,384) — BENCH.md r4)
+    rows = h + A + 2 * r
+    shs = {s for s in (512, 448, 384, 320, 256, 224, 192, 160, 128, 96,
+                       64, 48, 32) if s <= max(32, rows)}
+    shs.update(min(512, ((rows + n - 1) // n + 7) // 8 * 8)
+               for n in range(1, rows // 32 + 1))
+    shs = sorted(shs, reverse=True)
     if carry_bufs is None:
         carry_bufs = 4 * size_d + 2
     for tw in tws:
