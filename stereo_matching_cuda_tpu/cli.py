@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming-y strip-carry fused kernel (persistent "
                         "VMEM carries kill y-halo recompute — BENCH.md r4; "
                         "default: module default per frame regime)")
+    p.add_argument("--fast", action="store_true",
+                   help="small-frame throughput profile: fills --stream on, "
+                        "--y-sum roll, --vmem-mb 32 for knobs left unset "
+                        "(Tsukuba 0.449 ms vs the 0.651 default — BENCH.md "
+                        "r4).  Pays a ~4–5 min Mosaic compile per process; "
+                        "worth it for --serve / --sequence runs.  Frames "
+                        "≥2 MP already stream by default at their own "
+                        "measured budgets — prefer bare defaults there")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",
@@ -200,6 +208,17 @@ def main(argv=None) -> int:
               "kernel is the fast path; WTA near-ties may flip)",
               file=sys.stderr)
         return 2
+    if args.fast:
+        if args.exact:
+            print("error: --fast is a fused-kernel profile; it does not "
+                  "combine with --exact", file=sys.stderr)
+            return 2
+        if args.stream is None:
+            args.stream = "on"
+        if args.y_sum is None:
+            args.y_sum = "roll"
+        if args.vmem_mb is None:
+            args.vmem_mb = 32
     try:
         cfg = StereoConfig(
             d_min=args.d_min, d_max=args.d_max, alpha=args.alpha,

@@ -146,6 +146,14 @@ _STRATEGY_PIXELS = 200_000
 _BIG_VMEM_MB: int | None = 64      # disparity counts within the unroll cap
 _WIDE_VMEM_MB: int | None = 96     # wide ranges (size_d > _UNROLL_MAX)
 
+# Streaming-y strip-carry kernel default: area at or above which
+# cfg.stream=None resolves to True.  Round-4 hardware decider
+# (scripts/r4_stream{,2,3}.py, r4_decider.py — BENCH.md): the stream
+# kernel removes the y-halo recompute and wins every staged-scale
+# probe (6 MP 17.87 vs 20.26 ms at the auto vmem64; 5.9 MP/128 d
+# 159.8 vs 163.4 at vmem96+roll).  None disables the auto flip.
+_STREAM_PIXELS: int | None = 1 << 21
+
 
 def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     """Resolve the frame-size-dependent kernel strategy.  Only frames
@@ -174,6 +182,9 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
             # (explicit low vmem_mb) band-mxu still wins (BENCH.md r2).
             over["y_sum"] = "roll"
         cfg = dataclasses.replace(cfg, **over)
+    if (_STREAM_PIXELS and cfg.stream is None and h * w >= _STREAM_PIXELS
+            and cfg.fused in ("auto", True) and not cfg.exact_integral):
+        cfg = dataclasses.replace(cfg, stream=True)
     return cfg
 
 

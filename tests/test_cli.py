@@ -77,6 +77,28 @@ def test_cli_flag_combinations_exit2(tmp_path):
         assert "error:" in p.stderr and "Traceback" not in p.stderr, p.stderr
 
 
+def test_cli_fast_profile(tmp_path):
+    """--fast fills stream/y_sum/vmem_mb (BENCH.md r4 profile), leaves
+    explicit knobs alone, and rejects --exact."""
+    from stereo_matching_cuda_tpu import cli
+
+    args = cli.build_parser().parse_args(["a.png", "b.png", "--fast"])
+    assert args.fast and args.stream is None  # filled in main(), not parse
+    lp, rp = _write_pair(tmp_path)
+    p = _run([lp, rp, "-o", str(tmp_path)] + ["--fast", "--exact"])
+    assert p.returncode == 2 and "error:" in p.stderr
+    # on CPU the fused kernel never runs, but the profile must still
+    # produce the standard outputs (stream only affects the TPU path)
+    out = tmp_path / "fastout"
+    r = _run([lp, rp, "-o", str(out), "--fast"])
+    assert r.returncode == 0, r.stderr
+    assert (out / "disparity_mapl.png").exists()
+    # explicit knob wins over the profile fill
+    r2 = _run([lp, rp, "-o", str(tmp_path / "fast2"), "--fast",
+               "--y-sum", "mxu"])
+    assert r2.returncode == 0, r2.stderr
+
+
 def test_cli_staged_flag_matches_default(tmp_path):
     """--staged on must produce the same outputs as the composed path."""
     lp, rp = _write_pair(tmp_path)

@@ -172,19 +172,23 @@ def test_effective_config_big_frame_strategy(monkeypatch):
     from stereo_matching_cuda_tpu import pipeline as P
 
     monkeypatch.setattr(P, "_BIG_STRATEGY", None)
+    monkeypatch.setattr(P, "_STREAM_PIXELS", None)
     assert P.effective_config(CFG, 288, 384) is CFG          # small
     assert P.effective_config(CFG, 1992, 3008) is CFG        # None = inert
+    monkeypatch.undo()
 
     monkeypatch.setattr(P, "_BIG_STRATEGY", {"unroll_max": 8, "y_sum": "roll"})
     assert P.effective_config(CFG, 288, 384) is CFG          # small frame
     big = P.effective_config(CFG, 1992, 3008)
     assert big.unroll_max == 8 and big.y_sum == "roll"
-    # explicit user knobs are never overridden
+    # explicit user knobs are never overridden (the orthogonal stream
+    # default may still resolve — compare with it normalized away)
     for user in [dataclasses.replace(CFG, y_sum="mxu"),
                  dataclasses.replace(CFG, unroll_max=16),
                  dataclasses.replace(CFG, dual_view=True),
                  dataclasses.replace(CFG, exact_integral=True)]:
-        assert P.effective_config(user, 1992, 3008) is user
+        got = P.effective_config(user, 1992, 3008)
+        assert dataclasses.replace(got, stream=None) == user
 
 
 def test_effective_config_big_frame_default_live():
@@ -230,11 +234,36 @@ def test_effective_config_big_vmem_default():
     # explicit vmem_mb is never overridden
     user = dataclasses.replace(wide, vmem_mb=32)
     assert P.effective_config(user, 1992, 3008).vmem_mb == 32
-    # forced dual_view at 16 d stays on the unrolled branch → no auto vmem
+    # forced dual_view at 16 d stays on the unrolled branch → no auto
+    # vmem (only the orthogonal stream default resolves)
     dual = dataclasses.replace(CFG, dual_view=True)
-    assert P.effective_config(dual, 1992, 3008) is dual
+    assert dataclasses.replace(
+        P.effective_config(dual, 1992, 3008), stream=None) == dual
     # sub-staged-threshold frames keep the default budget
     assert P.effective_config(CFG, 1024, 1472).vmem_mb is None
     # exact/parity mode untouched
     exact = dataclasses.replace(wide, exact_integral=True)
+    assert P.effective_config(exact, 1992, 3008) is exact
+
+
+def test_effective_config_stream_default():
+    """Staged-scale frames stream by default (r4 decider: 6 MP 17.87
+    vs 20.26 ms, 128 d 159.8 vs 163.4 — BENCH.md); explicit stream
+    choice and exact mode win; small frames keep the module default."""
+    from stereo_matching_cuda_tpu import pipeline as P
+
+    assert P._STREAM_PIXELS == 1 << 21
+    assert P.effective_config(CFG, 1992, 3008).stream is True
+    wide = P.effective_config(
+        dataclasses.replace(CFG, d_min=-127, d_max=0), 1992, 3008)
+    assert wide.stream is True
+    # explicit off survives the rewrite
+    off = P.effective_config(
+        dataclasses.replace(CFG, stream=False), 1992, 3008)
+    assert off.stream is False
+    # sub-threshold frames resolve stream=None (module default)
+    assert P.effective_config(CFG, 1024, 1472).stream is None
+    assert P.effective_config(CFG, 288, 384) is CFG
+    # parity mode untouched
+    exact = dataclasses.replace(CFG, exact_integral=True)
     assert P.effective_config(exact, 1992, 3008) is exact
