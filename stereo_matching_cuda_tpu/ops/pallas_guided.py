@@ -566,7 +566,8 @@ def guided_wta_fused(
         A = _stream_carry(cfg.radius)
         sh, tw = _pick_tiles_stream(H, W, px, cfg.radius, cfg.size_d,
                                     _vmem_params(cfg)[0],
-                                    _stream_n_live(cfg))
+                                    _stream_n_live(cfg),
+                                    max_sh=_stream_sh_cap(cfg))
         w_ext = ((tw + 2 * px + 127) // 128) * 128
         nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
         nx = (W + tw - 1) // tw
@@ -665,9 +666,25 @@ def use_stream(cfg: StereoConfig) -> bool:
     return _STREAM
 
 
+# Unrolled streaming emissions with roll y-sums crash the Mosaic
+# compiler above this strip height (measured r4_decider: dual roll
+# (168,384) reproducibly kills the compile subprocess; (112,384)
+# compiles in 272 s and runs 0.449 ms — BENCH.md r4).  mxu y-sums and
+# the fori branch are unaffected.
+_STREAM_UNROLL_ROLL_SH_CAP = 112
+
+
+def _stream_sh_cap(cfg: StereoConfig, n_slices: int | None = None) -> int | None:
+    size = cfg.size_d if n_slices is None else n_slices
+    unrolled = size <= unroll_max(cfg)
+    impl = cfg.y_sum or _Y_SUM_IMPL
+    return _STREAM_UNROLL_ROLL_SH_CAP if (unrolled and impl == "roll") else None
+
+
 def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
                        vmem_budget: int, n_live: int,
-                       carry_bufs: int | None = None) -> tuple[int, int]:
+                       carry_bufs: int | None = None,
+                       max_sh: int | None = None) -> tuple[int, int]:
     """(strip_height, tile_width) for the streaming kernel.
 
     With the y-halo gone, the issued work per column is ny'·sh rows ≈
@@ -690,6 +707,8 @@ def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
                        64, 48, 32) if s <= max(32, rows)}
     shs.update(min(512, ((rows + n - 1) // n + 7) // 8 * 8)
                for n in range(1, rows // 32 + 1))
+    if max_sh is not None:
+        shs = {s for s in shs if s <= max_sh} or {max_sh}
     shs = sorted(shs, reverse=True)
     if carry_bufs is None:
         carry_bufs = 4 * size_d + 2
@@ -1498,7 +1517,8 @@ def _dual_stream(gray_l, gray_r, cfg: StereoConfig, H, W, px, nb):
     sh, tw = _pick_tiles_stream(H, W, px, cfg.radius, size_d,
                                 _vmem_params(cfg)[0],
                                 _dual_stream_n_live(cfg),
-                                carry_bufs=8 * size_d + 4)
+                                carry_bufs=8 * size_d + 4,
+                                max_sh=_stream_sh_cap(cfg))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
     nx = (W + tw - 1) // tw
@@ -1676,7 +1696,8 @@ def guided_wta_fused_local(
         sh, tw = _pick_tiles_stream(tile_h, tile_w, px, cfg.radius,
                                     n_slices or cfg.size_d,
                                     _vmem_params(cfg)[0],
-                                    _stream_n_live(cfg, n_slices))
+                                    _stream_n_live(cfg, n_slices),
+                                    max_sh=_stream_sh_cap(cfg, n_slices))
         w_ext = ((tw + 2 * px + 127) // 128) * 128
         nyp = (tile_h + A + 2 * cfg.radius + sh - 1) // sh
         nx = (tile_w + tw - 1) // tw

@@ -60,6 +60,28 @@ def _fused(g1, g2, cfg, dmin=None):
     return np.asarray(b), np.asarray(d)
 
 
+def test_stream_unrolled_roll_sh_cap():
+    """Unrolled streaming emissions with roll y-sums cap the strip
+    height at 112 (Mosaic compile crash above it — BENCH.md r4);
+    mxu y-sums and the fori branch are uncapped."""
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    roll = dataclasses.replace(CFG, y_sum="roll", vmem_mb=32)
+    assert pg._stream_sh_cap(roll) == 112
+    assert pg._stream_sh_cap(dataclasses.replace(CFG, y_sum="mxu")) is None
+    fori = dataclasses.replace(roll, unroll_max=8)
+    assert pg._stream_sh_cap(fori) is None
+    # the picker respects the cap: at vmem32 the uncapped Tsukuba pick
+    # is (168, 384); capped it must stay <= 112
+    _, px = pg.dual_geometry(roll)
+    sh, _ = pg._pick_tiles_stream(288, 384, px, roll.radius, roll.size_d,
+                                  pg._vmem_params(roll)[0],
+                                  pg._dual_stream_n_live(roll),
+                                  carry_bufs=8 * roll.size_d + 4,
+                                  max_sh=pg._stream_sh_cap(roll))
+    assert sh <= 112
+
+
 @pytest.mark.parametrize("shape", [(64, 96), (40, 384), (33, 130)])
 def test_stream_matches_oracle(shape):
     g1, g2 = _pair(*shape)
