@@ -694,9 +694,14 @@ def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
     ties prefer fewer programs."""
     A = _stream_carry(r)
     best = None
-    tws = sorted({tw for tw in (w, 3072, 2560, 2048, 1792, 1536, 1280,
+    # tile widths above 1536 crash the Mosaic compile (r4_decider:
+    # forced (64,3008) and (96,3008) fori-roll tiles reproducibly kill
+    # the compile subprocess; (128,1536) compiles in 17 s and ships as
+    # the wide-D vmem128 pick) — candidates cap at the measured-good
+    # 1536 unless the frame itself is narrower
+    tws = sorted({tw for tw in (w, 1536, 1280,
                                 1024, 896, 768, 640, 512, 384, 256)
-                  if tw <= w})
+                  if tw <= min(w, 1536)})
     # strip-height candidates: a coarse fixed ladder PLUS the minimal
     # 8-aligned height for each strip count — those are exactly the
     # zero-ceil-waste points (e.g. 330 rows: 7x48, 3x112, 2x168),

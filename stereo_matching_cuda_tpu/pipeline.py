@@ -149,10 +149,18 @@ _WIDE_VMEM_MB: int | None = 96     # wide ranges (size_d > _UNROLL_MAX)
 # Streaming-y strip-carry kernel default: area at or above which
 # cfg.stream=None resolves to True.  Round-4 hardware decider
 # (scripts/r4_stream{,2,3}.py, r4_decider.py — BENCH.md): the stream
-# kernel removes the y-halo recompute and wins every staged-scale
-# probe (6 MP 17.87 vs 20.26 ms at the auto vmem64; 5.9 MP/128 d
-# 159.8 vs 163.4 at vmem96+roll).  None disables the auto flip.
-_STREAM_PIXELS: int | None = 1 << 21
+# kernel removes the y-halo recompute and wins every probe at or above
+# 512x512 — 512² 0.89 vs 1.05, 704×768 1.40 vs 2.74, 1 MP 4.62 vs
+# 6.27, 3 MP 9.36 vs 9.89, 6 MP 17.87 vs 20.26, 5.9 MP/128 d 148.8 vs
+# 163.4 ms — with fori-branch compile times (3-24 s).  Sub-200k-px
+# frames keep the non-stream default (the dual-stream win needs the
+# --fast profile's minutes-long unrolled compile).  None disables.
+_STREAM_PIXELS: int | None = _STRATEGY_PIXELS
+
+# Wide-range streaming frames take vmem128 (r4_decider: 148.8 ms at
+# (128,1536) vs 159.8 at vmem96 — the old kernel's 120 MiB VMEM edge
+# does not bind the streaming working set).
+_WIDE_STREAM_VMEM_MB: int | None = 128
 
 
 def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
@@ -169,11 +177,18 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
             and cfg.y_sum is None and cfg.fused == "auto"
             and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, **_BIG_STRATEGY)
+    if (_STREAM_PIXELS and cfg.stream is None and h * w >= _STREAM_PIXELS
+            and cfg.fused in ("auto", True) and not cfg.exact_integral):
+        cfg = dataclasses.replace(cfg, stream=True)
     if (_BIG_VMEM_MB and cfg.vmem_mb is None and h * w >= _STAGED_PIXELS
             and cfg.size_d > unroll_max(cfg)   # fori branch: fast compiles
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
+        from .ops.pallas_guided import use_stream
+
         wide = cfg.size_d > _UNROLL_MAX
-        over: dict = {"vmem_mb": _WIDE_VMEM_MB if wide else _BIG_VMEM_MB}
+        wide_mb = (_WIDE_STREAM_VMEM_MB if use_stream(cfg) and
+                   _WIDE_STREAM_VMEM_MB else _WIDE_VMEM_MB)
+        over: dict = {"vmem_mb": wide_mb if wide else _BIG_VMEM_MB}
         if wide and cfg.y_sum is None:
             # at the vmem96 tiles the halo ratio flattens enough that
             # the MXU passes become the binding unit again: roll 163.4
@@ -182,9 +197,6 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
             # (explicit low vmem_mb) band-mxu still wins (BENCH.md r2).
             over["y_sum"] = "roll"
         cfg = dataclasses.replace(cfg, **over)
-    if (_STREAM_PIXELS and cfg.stream is None and h * w >= _STREAM_PIXELS
-            and cfg.fused in ("auto", True) and not cfg.exact_integral):
-        cfg = dataclasses.replace(cfg, stream=True)
     return cfg
 
 

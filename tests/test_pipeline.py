@@ -222,15 +222,16 @@ def test_effective_config_big_vmem_default():
     # 6 MP default: strategy rewrite puts it on the fori branch → vmem64
     big = P.effective_config(CFG, 1992, 3008)
     assert big.vmem_mb == 64 and big.y_sum == "roll"
-    # wide-D at 6 MP: fori branch, wide range → vmem96 + roll y-sums
+    # wide-D at 6 MP: fori branch, wide range → roll y-sums; streaming
+    # (the r4 default) takes vmem128, the non-stream path keeps vmem96
     wide = P.effective_config(
         dataclasses.replace(CFG, d_min=-127, d_max=0), 1992, 3008)
-    assert wide.vmem_mb == 96 and wide.y_sum == "roll"
+    assert wide.vmem_mb == 128 and wide.y_sum == "roll" and wide.stream
     # explicit y_sum survives; the budget still applies
     wide_mxu = P.effective_config(
         dataclasses.replace(CFG, d_min=-127, d_max=0, y_sum="mxu"),
         1992, 3008)
-    assert wide_mxu.vmem_mb == 96 and wide_mxu.y_sum == "mxu"
+    assert wide_mxu.vmem_mb == 128 and wide_mxu.y_sum == "mxu"
     # explicit vmem_mb is never overridden
     user = dataclasses.replace(wide, vmem_mb=32)
     assert P.effective_config(user, 1992, 3008).vmem_mb == 32
@@ -247,22 +248,27 @@ def test_effective_config_big_vmem_default():
 
 
 def test_effective_config_stream_default():
-    """Staged-scale frames stream by default (r4 decider: 6 MP 17.87
-    vs 20.26 ms, 128 d 159.8 vs 163.4 — BENCH.md); explicit stream
-    choice and exact mode win; small frames keep the module default."""
+    """Frames >= 200k px stream by default (r4 decider: wins at every
+    probed size from 512² up, fori-class compiles — BENCH.md);
+    explicit stream choice and exact mode win; Tsukuba-class frames
+    keep the module default (dual-stream needs the --fast compile).
+    Wide-range streaming frames take the measured vmem128 budget."""
     from stereo_matching_cuda_tpu import pipeline as P
 
-    assert P._STREAM_PIXELS == 1 << 21
+    assert P._STREAM_PIXELS == P._STRATEGY_PIXELS == 200_000
     assert P.effective_config(CFG, 1992, 3008).stream is True
+    assert P.effective_config(CFG, 512, 512).stream is True
+    assert P.effective_config(CFG, 1024, 1472).stream is True
     wide = P.effective_config(
         dataclasses.replace(CFG, d_min=-127, d_max=0), 1992, 3008)
-    assert wide.stream is True
-    # explicit off survives the rewrite
+    assert wide.stream is True and wide.vmem_mb == 128
+    # explicit stream off survives AND reverts the wide budget to the
+    # non-stream winner
     off = P.effective_config(
-        dataclasses.replace(CFG, stream=False), 1992, 3008)
-    assert off.stream is False
-    # sub-threshold frames resolve stream=None (module default)
-    assert P.effective_config(CFG, 1024, 1472).stream is None
+        dataclasses.replace(CFG, d_min=-127, d_max=0, stream=False),
+        1992, 3008)
+    assert off.stream is False and off.vmem_mb == 96
+    # sub-200k-px frames are untouched
     assert P.effective_config(CFG, 288, 384) is CFG
     # parity mode untouched
     exact = dataclasses.replace(CFG, exact_integral=True)
