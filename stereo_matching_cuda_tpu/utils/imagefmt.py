@@ -1,17 +1,22 @@
-"""Minimal BMP and TGA codecs (dependency-free NumPy).
+"""Minimal BMP, TGA and Radiance HDR codecs (dependency-free NumPy).
 
-The reference's stb_image.h reads BMP/TGA alongside PNG (enabled via
-SystemIncludes.h:3-5), though the pipeline itself only ever loads PNGs
-(main.cu:57-58).  These codecs cover the commonly produced subsets:
+The reference's stb_image.h reads BMP/TGA/HDR alongside PNG (enabled
+via SystemIncludes.h:3-5), and stb_image_write.h writes BMP/TGA/HDR,
+though the pipeline itself only ever loads and stores PNGs
+(main.cu:57-58,162-181).  These codecs cover the commonly produced
+subsets:
 
   BMP:  BITMAPINFOHEADER (or larger) uncompressed BI_RGB, 8-bit
         paletted / 24-bit BGR / 32-bit BGRA, bottom-up or top-down.
   TGA:  types 2/10 (truecolor, raw/RLE) at 24/32 bpp and types 3/11
         (grayscale, raw/RLE), bottom-up or top-down origin.
+  HDR:  Radiance 32-bit_rle_rgbe, flat or adaptive-RLE scanlines;
+        decode uses stb's c·2^(e−136) convention, write emits RLE
+        scanlines like stb_image_write.
 
 Both decode to the same uint8 (H, W[, C]) RGB-order arrays the PNG
-codecs return; writers emit 24-bit BMP / TGA (and 8-bit gray TGA) for
-round-trip tests and interchange.
+codecs return (HDR decodes to float32 RGB); writers emit 24-bit
+BMP / TGA (and 8-bit gray TGA) for round-trip tests and interchange.
 """
 
 from __future__ import annotations
@@ -173,3 +178,120 @@ def write_tga(path: str, img: np.ndarray) -> None:
                          w, h, bpp, 0x20)       # bit 5 = top-down
     with open(path, "wb") as f:
         f.write(header + payload)
+
+# ----------------------------------------------------------------- HDR
+
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance .hdr → float32 (H, W, 3) linear RGB.
+
+    Accepts flat scanlines and the adaptive-RLE encoding (scanlines
+    opening with (2, 2, w>>8, w&0xFF)); component value is
+    c · 2^(e−136) — the stb_image convention (zero when e == 0)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError(f"{path}: not a Radiance HDR file")
+    pos = 0
+    fmt_ok = False
+    while True:                                   # header: until blank line
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl]
+        pos = nl + 1
+        if line == b"":
+            break
+        if line.startswith(b"FORMAT="):
+            fmt_ok = line == b"FORMAT=32-bit_rle_rgbe"
+    if not fmt_ok:
+        raise NotImplementedError(f"{path}: HDR format is not 32-bit_rle_rgbe")
+    nl = data.index(b"\n", pos)
+    res = data[pos:nl].split()
+    pos = nl + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise NotImplementedError(
+            f"{path}: unsupported HDR orientation {b' '.join(res)!r}")
+    h, w = int(res[1]), int(res[3])
+    rgbe = np.empty((h, w, 4), np.uint8)
+    for y in range(h):
+        if pos + 4 > len(data):
+            raise ValueError(f"{path}: truncated HDR pixel data")
+        if (8 <= w < 32768 and data[pos] == 2 and data[pos + 1] == 2
+                and (data[pos + 2] << 8) + data[pos + 3] == w):
+            pos += 4                               # adaptive RLE scanline
+            for c in range(4):
+                x = 0
+                while x < w:
+                    if pos >= len(data):
+                        raise ValueError(f"{path}: truncated HDR RLE stream")
+                    n = data[pos]
+                    pos += 1
+                    if n > 128:                    # run of (n-128) copies
+                        n -= 128
+                        if x + n > w or pos >= len(data):
+                            raise ValueError(f"{path}: HDR RLE overrun")
+                        rgbe[y, x : x + n, c] = data[pos]
+                        pos += 1
+                    else:                          # n literals
+                        if x + n > w or pos + n > len(data):
+                            raise ValueError(f"{path}: HDR RLE overrun")
+                        rgbe[y, x : x + n, c] = np.frombuffer(
+                            data, np.uint8, n, pos)
+                        pos += n
+                    x += n
+        else:                                      # flat scanline
+            need = w * 4
+            if pos + need > len(data):
+                raise ValueError(f"{path}: truncated HDR pixel data")
+            rgbe[y] = np.frombuffer(data, np.uint8, need, pos).reshape(w, 4)
+            pos += need
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(np.float32(1.0), e - 136), np.float32(0))
+    return (rgbe[..., :3].astype(np.float32) * scale[..., None]).astype(
+        np.float32)
+
+
+def write_hdr(path: str, img: np.ndarray) -> None:
+    """float32 (H, W, 3) (or (H, W) gray, replicated) → Radiance .hdr
+    with adaptive-RLE scanlines (flat when the width disallows RLE)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"HDR writer needs (H,W) or (H,W,3), got {img.shape}")
+    h, w = img.shape[:2]
+    maxc = img.max(axis=2)
+    m, e = np.frexp(maxc)                          # maxc = m * 2^e, m in [.5,1)
+    factor = np.where(maxc >= 1e-32, m * 256.0 / np.maximum(maxc, 1e-38), 0.0)
+    rgbe = np.empty((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * factor[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(maxc >= 1e-32, e + 128, 0).astype(np.uint8)
+    out = [b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n",
+           f"-Y {h} +X {w}\n".encode()]
+    if not (8 <= w < 32768):
+        out.append(rgbe.tobytes())
+    else:
+        for y in range(h):
+            out.append(bytes((2, 2, w >> 8, w & 0xFF)))
+            for c in range(4):
+                comp = rgbe[y, :, c]
+                x = 0
+                while x < w:
+                    # find a run of >= 4 identical bytes
+                    run = x
+                    while run + 3 < w and not (
+                            comp[run] == comp[run + 1] == comp[run + 2]
+                            == comp[run + 3]):
+                        run += 1
+                    if run + 3 >= w:
+                        run = w
+                    while x < run:                 # literals up to the run
+                        n = min(128, run - x)
+                        out.append(bytes([n]) + comp[x : x + n].tobytes())
+                        x += n
+                    if x < w:                      # emit the run
+                        n = x + 4
+                        while n < w and comp[n] == comp[x] and n - x < 127:
+                            n += 1
+                        out.append(bytes([128 + (n - x), comp[x]]))
+                        x = n
+    with open(path, "wb") as f:
+        f.write(b"".join(out))

@@ -149,11 +149,11 @@ def write_png(path: str, img: np.ndarray) -> None:
 
 
 def read_image(path: str) -> np.ndarray:
-    """Format-dispatching reader (magic bytes): PNG, JPEG (baseline),
-    PGM/PPM (P5/P6), PFM (Pf/PF float — Middlebury ground-truth
-    disparities), BMP, and TGA (no magic — dispatched by .tga
-    extension, as stb does).  The reference's stb layer reads these
-    alongside PNG."""
+    """Format-dispatching reader (magic bytes): the full stb_image
+    surface — PNG, JPEG (baseline), PGM/PPM (P5/P6), PFM (Pf/PF float —
+    Middlebury ground-truth disparities), BMP, GIF, PSD, Radiance HDR,
+    Softimage PIC, and TGA (no magic — dispatched by .tga extension,
+    as stb does)."""
     with open(path, "rb") as f:
         magic = f.read(2)
     if magic == b"\x89P":
@@ -174,6 +174,22 @@ def read_image(path: str) -> np.ndarray:
         from . import imagefmt
 
         return imagefmt.read_bmp(path)
+    if magic == b"#?":
+        from . import imagefmt
+
+        return imagefmt.read_hdr(path)
+    if magic == b"GI":
+        from . import legacyfmt
+
+        return legacyfmt.read_gif(path)
+    if magic == b"8B":
+        from . import legacyfmt
+
+        return legacyfmt.read_psd(path)
+    if magic == b"\x53\x80":
+        from . import legacyfmt
+
+        return legacyfmt.read_pic(path)
     if path.lower().endswith(".tga"):
         from . import imagefmt
 

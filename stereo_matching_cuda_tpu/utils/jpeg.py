@@ -302,3 +302,216 @@ def _decode_scan(path, data, pos, frame, scan, qt, huff_dc, huff_ac,
     g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------- encoder
+
+# Annex K base quantization tables (natural order, K.1/K.2)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int32)
+
+# Annex K standard Huffman tables: (BITS counts[1..16], HUFFVAL)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _enc_codes(table):
+    """Canonical (counts, symbols) → {symbol: (code, length)}."""
+    counts, symbols = table
+    out = {}
+    code = 0
+    it = iter(symbols)
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[next(it)] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0xFF >> (8 - (8 - self.nbits) % 8), (8 - self.nbits) % 8)
+        return bytes(self.out)
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (size, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lt = np.clip((_QT_LUMA * scale + 50) // 100, 1, 255)
+    ct = np.clip((_QT_CHROMA * scale + 50) // 100, 1, 255)
+    return lt, ct
+
+
+def write_jpeg(path: str, img: np.ndarray, quality: int = 90) -> None:
+    """Baseline sequential JPEG writer (stb_image_write surface):
+    uint8 (H, W) grayscale or (H, W, 3) RGB, 4:4:4 (no subsampling),
+    Annex K standard Huffman tables, libjpeg quality scaling."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f"JPEG writer needs uint8, got {img.dtype}")
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[..., 0]
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[2] != 3):
+        raise ValueError(f"JPEG writer needs (H,W) or (H,W,3), got {img.shape}")
+    H, W = img.shape[:2]
+    gray = img.ndim == 2
+    lt, ct = _quality_tables(quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        planes = [yy, cb, cr]
+    ph = (H + 7) & ~7
+    pw = (W + 7) & ~7
+    planes = [np.pad(p, ((0, ph - H), (0, pw - W)), mode="edge")
+              for p in planes]
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"       # APP0
+    for tid, qt in ([(0, lt)] if gray else [(0, lt), (1, ct)]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(qt[z]) for z in _ZIGZAG)       # DQT (zigzag order)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, H, W, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    hts = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if not gray:
+        hts += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tid, (counts, symbols) in hts:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(symbols), tid) \
+            + bytes(counts) + bytes(symbols)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack("BB", cid, 0x00 if cid == 1 else 0x11)
+    out += b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    dc_l, ac_l = _enc_codes(_HT_DC_LUMA), _enc_codes(_HT_AC_LUMA)
+    dc_c, ac_c = _enc_codes(_HT_DC_CHROMA), _enc_codes(_HT_AC_CHROMA)
+    # 4:4:4 non-interleaved would need one scan per component; with
+    # h=v=1 for every component the interleaved MCU is one block per
+    # component in component order
+    preds = [0, 0, 0]
+    qts = [lt.astype(np.float64)] + [ct.astype(np.float64)] * 2
+    codes = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    zz = _ZIGZAG
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            for ci, p in enumerate(planes):
+                block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                coef = _B @ block @ _B.T
+                qc = np.round(coef.reshape(64) / qts[ci]).astype(np.int32)
+                zigzag = qc[zz]
+                s, bits = _mag(int(zigzag[0]) - preds[ci])
+                preds[ci] = int(zigzag[0])
+                dc_codes, ac_codes = codes[ci]
+                code, ln = dc_codes[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(bits, s)
+                nz = np.nonzero(zigzag[1:])[0]
+                prev = 0
+                for idx in nz:
+                    run = idx - prev
+                    while run >= 16:
+                        code, ln = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s, bits = _mag(int(zigzag[1 + idx]))
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(bits, s)
+                    prev = idx + 1
+                if prev < 63:
+                    code, ln = ac_codes[0x00]
+                    bw.put(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"                                 # EOI
+    with open(path, "wb") as f:
+        f.write(bytes(out))
