@@ -1,7 +1,5 @@
 """Round-4 sweep: streaming-kernel budget/tile tail.
 
-  - 5.9 MP/128 d at vmem160/192 (vmem128 auto = 148.8; does more VMEM
-    keep paying now that tw caps at 1536?)
   - 3 MP forced tiles (auto (392,1024) won only −5%; try 1536-wide)
   - --fast profile single-frame compile+first time (the CLI user's
     cost; the 272 s number is for chain-of-17/49 executables)
@@ -28,7 +26,6 @@ from stereo_matching_cuda_tpu.utils.synth import make_scene
 
 print(f"device: {jax.devices()[0].device_kind}", flush=True)
 
-sw = make_scene(1988, 2948, ndisp=128, seed=7)
 s3 = make_scene(1504, 2048, ndisp=16, seed=7)
 summ = jax.jit(lambda x: jnp.sum(x))
 perturb = jax.jit(lambda l, f: l + (f[..., None].astype(jnp.uint8) & 1))
@@ -42,10 +39,6 @@ def wide(**kw):
 cfg3 = effective_config(DEFAULT_CONFIG, 1504, 2048)
 
 CONFIGS = [
-    ("128d stream roll vmem160", sw["left"], sw["right"],
-     wide(y_sum="roll", vmem_mb=160), None),
-    ("128d stream roll vmem192", sw["left"], sw["right"],
-     wide(y_sum="roll", vmem_mb=192), None),
     ("3MP stream (256,1536)", s3["left"], s3["right"], cfg3, (256, 1536)),
     ("3MP stream (192,1536)", s3["left"], s3["right"], cfg3, (192, 1536)),
     ("3MP stream (512,1024)", s3["left"], s3["right"], cfg3, (512, 1024)),

@@ -81,10 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true",
                    help="small-frame throughput profile: fills --stream on, "
                         "--y-sum roll, --vmem-mb 32 for knobs left unset "
-                        "(Tsukuba 0.449 ms vs the 0.651 default — BENCH.md "
-                        "r4).  Pays a ~4–5 min Mosaic compile per process; "
+                        "(Tsukuba 0.449 ms vs the 0.63 default — BENCH.md "
+                        "r4).  Pays a 140 s Mosaic compile per process "
+                        "(single-frame executable; measured r4_sweep); "
                         "worth it for --serve / --sequence runs.  Frames "
-                        "≥2 MP already stream by default at their own "
+                        "≥200k px already stream by default at their own "
                         "measured budgets — prefer bare defaults there")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
