@@ -297,10 +297,11 @@ def main():
             fast_cfg = dataclasses.replace(
                 DEFAULT_CONFIG, stream=True, y_sum="roll", vmem_mb=32)
             fper, _, _ = timed_frames(fast_cfg, l, r, log=log)
+            ffps = 1.0 / fper if fper > 0 else float("inf")
             log(f"tsukuba --fast profile: {fper*1e3:.3f} ms/frame "
-                f"({1.0/fper:.0f} fps)")
+                f"({ffps:.0f} fps)")
             extra["tsukuba_fast_ms_per_frame"] = round(fper * 1e3, 3)
-            extra["tsukuba_fast_fps"] = round(1.0 / fper, 1)
+            extra["tsukuba_fast_fps"] = round(ffps, 1)
         except Exception as e:
             log(f"fast-profile bench failed: {e!r}")
             extra["tsukuba_fast_error"] = repr(e)

@@ -115,11 +115,13 @@ for label, lnp, rnp, cfg, forced in CONFIGS:
                 sh, tw = orig_pick(h, w, px, cfg.radius, cfg.size_d,
                                    pg._vmem_params(cfg)[0],
                                    pg._dual_stream_n_live(cfg),
-                                   carry_bufs=8 * cfg.size_d + 4)
+                                   carry_bufs=8 * cfg.size_d + 4,
+                                   max_sh=pg._stream_sh_cap(cfg))
             else:
                 sh, tw = orig_pick(h, w, px, cfg.radius, cfg.size_d,
                                    pg._vmem_params(cfg)[0],
-                                   pg._stream_n_live(cfg))
+                                   pg._stream_n_live(cfg),
+                                   max_sh=pg._stream_sh_cap(cfg))
         except ValueError as e:
             print(f"  [{label}] no tiling: {e}", flush=True)
             continue

@@ -32,8 +32,10 @@ in-process jit cache.  Deployments that cannot afford that pass
 `--serve-ranges`) and non-allowlisted overrides get 403 instead of a
 compile.
 
-Any decodable input format works (PNG/JPEG/PNM/BMP/TGA — read_image's
-surface) — images are passed as bytes and sniffed the same way.
+Any decodable input format works (PNG/JPEG/PNM/BMP/TGA/GIF/PSD/HDR/
+PIC — read_image's surface; float-HDR and 16-bit inputs reach the
+8-bit validation error) — images are passed as bytes and sniffed the
+same way.
 """
 
 from __future__ import annotations

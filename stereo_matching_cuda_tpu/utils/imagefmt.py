@@ -263,7 +263,8 @@ def write_hdr(path: str, img: np.ndarray) -> None:
     factor = np.where(maxc >= 1e-32, m * 256.0 / np.maximum(maxc, 1e-38), 0.0)
     rgbe = np.empty((h, w, 4), np.uint8)
     rgbe[..., :3] = np.clip(img * factor[..., None], 0, 255).astype(np.uint8)
-    rgbe[..., 3] = np.where(maxc >= 1e-32, e + 128, 0).astype(np.uint8)
+    rgbe[..., 3] = np.where(maxc >= 1e-32,
+                            np.clip(e + 128, 0, 255), 0).astype(np.uint8)
     out = [b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n",
            f"-Y {h} +X {w}\n".encode()]
     if not (8 <= w < 32768):

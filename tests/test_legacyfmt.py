@@ -254,11 +254,11 @@ def test_hdr_flat_narrow_and_errors(tmp_path):
 
 @pytest.mark.skipif(not HAVE_PIL, reason="PIL cross-check")
 def test_hdr_pil_cross_decode(tmp_path):
+    img = np.abs(np.random.default_rng(3).normal(
+        1.0, 0.5, (16, 24, 3))).astype(np.float32)
+    p = str(tmp_path / "x.hdr")
+    imagefmt.write_hdr(p, img)
     try:
-        img = np.abs(np.random.default_rng(3).normal(
-            1.0, 0.5, (16, 24, 3))).astype(np.float32)
-        p = str(tmp_path / "x.hdr")
-        imagefmt.write_hdr(p, img)
         theirs = np.asarray(Image.open(p)).astype(np.float32)
     except Exception:
         pytest.skip("PIL lacks Radiance HDR decode")
