@@ -119,6 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernels — compile once per process and stay warm")
     p.add_argument("--serve-host", default="127.0.0.1",
                    help="bind address for --serve (default 127.0.0.1)")
+    p.add_argument("--serve-warmup", default=None, metavar="HxW",
+                   help="compile the serving executable for HxW frames at "
+                        "startup (e.g. 288x384) so the first request does "
+                        "not pay the jit/Mosaic compile — pairs with --fast "
+                        "(140 s compile, BENCH.md r4)")
     p.add_argument("--serve-ranges", default=None, metavar="MIN:MAX[,...]",
                    help="allowlist of per-request d_min:d_max overrides for "
                         "--serve (e.g. '-15:0,-63:0'); others get 403 "
@@ -284,7 +289,17 @@ def main(argv=None) -> int:
                 return 2
             # the configured range is always servable
             ranges.append((cfg.d_min, cfg.d_max))
-        serve_forever(args.serve_host, args.serve, cfg, ranges)
+        warmup_hw = None
+        if args.serve_warmup:
+            try:
+                warmup_hw = tuple(int(v) for v in args.serve_warmup.split("x"))
+                if len(warmup_hw) != 2 or any(v <= 0 for v in warmup_hw):
+                    raise ValueError
+            except ValueError:
+                print(f"error: bad --serve-warmup {args.serve_warmup!r} "
+                      "(want HxW, e.g. 288x384)", file=sys.stderr)
+                return 2
+        serve_forever(args.serve_host, args.serve, cfg, ranges, warmup_hw)
         return 0
     if args.left is None:
         print("error: left image is required (or use --eval/--serve)",

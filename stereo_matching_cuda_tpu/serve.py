@@ -214,11 +214,31 @@ def make_server(host: str, port: int, cfg: StereoConfig,
     return StereoServer((host, port), cfg, allowed_d_ranges)
 
 
+def warmup(cfg: StereoConfig, h: int, w: int) -> float:
+    """Compile the serving executable for (h, w) frames before the
+    first request (the --fast profile's Mosaic compile is minutes on a
+    cold process — BENCH.md r4; on a warm server it is request-free).
+    Returns the compile+first-frame seconds."""
+    from .pipeline import compute_disparity
+
+    rng = np.random.default_rng(0)
+    pair = rng.integers(0, 256, size=(2, h, w, 3), dtype=np.uint8)
+    t0 = time.time()
+    compute_disparity(pair[0], pair[1], cfg)
+    return time.time() - t0
+
+
 def serve_forever(host: str, port: int, cfg: StereoConfig,
-                  allowed_d_ranges=None) -> None:
+                  allowed_d_ranges=None, warmup_hw=None) -> None:
     srv = make_server(host, port, cfg, allowed_d_ranges)
     import jax
 
+    if warmup_hw is not None:
+        h, w = warmup_hw
+        print(f"stereo server warming up {h}x{w} executable "
+              f"(Mosaic/jit compile)...", flush=True)
+        dt = warmup(cfg, h, w)
+        print(f"stereo server warmup done in {dt:.1f}s", flush=True)
     print(f"stereo server on {srv.server_address[0]}:"
           f"{srv.server_address[1]} (backend {jax.default_backend()}); "
           "POST /disparity, GET /healthz", flush=True)

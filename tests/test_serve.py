@@ -192,3 +192,17 @@ def test_cli_serve_flag_validation():
 
     assert main(["--serve", "0", "--eval"]) == 2
     assert main(["left.png", "right.png", "--serve", "0"]) == 2
+
+
+def test_warmup_compiles_and_counts_nothing():
+    """serve.warmup compiles the (h, w) executable without touching the
+    request counter; the CLI flag parses HxW and rejects junk."""
+    from stereo_matching_cuda_tpu import cli
+    from stereo_matching_cuda_tpu.serve import warmup
+
+    dt = warmup(StereoConfig(d_min=-3, d_max=0), 24, 40)
+    assert dt > 0
+    args = cli.build_parser().parse_args(
+        ["--serve", "0", "--serve-warmup", "288x384"])
+    assert args.serve_warmup == "288x384"
+    assert cli.main(["--serve", "0", "--serve-warmup", "nonsense"]) == 2
