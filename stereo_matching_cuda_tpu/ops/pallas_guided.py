@@ -571,8 +571,9 @@ def guided_wta_fused(
         w_ext = ((tw + 2 * px + 127) // 128) * 128
         nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
         nx = (W + tw - 1) // tw
-        width = max((nx - 1) * tw + w_ext, W + 2 * px + abs(dmin))
-        height = max(nyp * sh + A, 2 * A + H)
+        height, width = _pad_hw(max(nyp * sh + A, 2 * A + H),
+                                max((nx - 1) * tw + w_ext,
+                                    W + 2 * px + abs(dmin)))
 
         def prep_s(g, xoff):
             I = g.astype(jnp.float32)
@@ -591,13 +592,14 @@ def guided_wta_fused(
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw
-    width = max((nx - 1) * tw + w_ext, W + 2 * px + abs(dmin))
+    _h, width = _pad_hw(ny * sh + 2 * halo_y,
+                        max((nx - 1) * tw + w_ext, W + 2 * px + abs(dmin)))
 
     def prep(g, xoff):
         """Zero-pad once; tiles are DMA'd by the kernel (no duplicated
         halo strips in HBM, no per-tile slice graph)."""
         I = g.astype(jnp.float32)
-        shape = (ny * sh + 2 * halo_y, width)
+        shape = (_h, width)
         if batched:
             P = jnp.zeros((g.shape[0],) + shape, jnp.float32)
             return jax.lax.dynamic_update_slice(P, I, (0, halo_y, xoff))
@@ -640,6 +642,15 @@ def guided_wta_fused(
 # differ (band matmul (sh, sh+A) instead of (she, she)), so WTA
 # near-ties may flip — the documented fused fast-path accuracy class.
 # ---------------------------------------------------------------------
+
+
+def _pad_hw(height: int, width: int) -> tuple[int, int]:
+    """Round prep-buffer dims to the (8, 128) VMEM tiling.  The
+    batched grid mode materializes the logical input view as a Mosaic
+    memref slice, which requires tiling-aligned shapes (measured: the
+    unbatched kernels' manual sub-slice DMAs never tripped this, the
+    sharded path's batched tiles did — r4_shard_tpu)."""
+    return ((height + 7) // 8) * 8, ((width + 127) // 128) * 128
 
 
 def _stream_carry(r: int) -> int:
@@ -1527,8 +1538,8 @@ def _dual_stream(gray_l, gray_r, cfg: StereoConfig, H, W, px, nb):
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
     nx = (W + tw - 1) // tw
-    width = max((nx - 1) * tw + w_ext, W + 2 * px)
-    height = max(nyp * sh + A, 2 * A + H)
+    height, width = _pad_hw(max(nyp * sh + A, 2 * A + H),
+                            max((nx - 1) * tw + w_ext, W + 2 * px))
     n_prog = max(nb, 1) * nx * nyp
 
     def prep(g):
@@ -1614,12 +1625,13 @@ def guided_wta_fused_dual(
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     ny = (H + sh - 1) // sh
     nx = (W + tw - 1) // tw
-    width = max((nx - 1) * tw + w_ext, W + 2 * px)
+    _h, width = _pad_hw(ny * sh + 2 * halo_y,
+                        max((nx - 1) * tw + w_ext, W + 2 * px))
     n_prog = max(nb, 1) * ny * nx
 
     def prep(g):
         I = g.astype(jnp.float32)
-        shape = (ny * sh + 2 * halo_y, width)
+        shape = (_h, width)
         if batched:
             P = jnp.zeros((nb,) + shape, jnp.float32)
             return jax.lax.dynamic_update_slice(P, I, (0, halo_y, px))
@@ -1706,10 +1718,14 @@ def guided_wta_fused_local(
         w_ext = ((tw + 2 * px + 127) // 128) * 128
         nyp = (tile_h + A + 2 * cfg.radius + sh - 1) // sh
         nx = (tile_w + tw - 1) // tw
-        lead = px
-        width = lead + max((nx - 1) * tw + w_ext, tile_w + 2 * px) + px
-        height = max(nyp * sh + A,
-                     2 * A - halo_y + gray1_ext.shape[-2])
+        # 128-aligned headroom: the kernel's DMA x-start is tx*tw+lead,
+        # which Mosaic must prove divisible by the 128-lane tiling
+        # (tw candidates are all multiples of 128; px alone is not —
+        # measured failure r4_shard_tpu)
+        lead = ((px + 127) // 128) * 128
+        height, width = _pad_hw(
+            max(nyp * sh + A, 2 * A - halo_y + gray1_ext.shape[-2]),
+            lead + max((nx - 1) * tw + w_ext, tile_w + 2 * px) + px)
 
         def prep_s(g, xoff):
             if batched:
@@ -1736,12 +1752,16 @@ def guided_wta_fused_local(
     ny = (tile_h + sh - 1) // sh
     nx = (tile_w + tw - 1) // tw
     # `lead` columns of headroom keep the dmin pre-shift start index
-    # non-negative for any |dmin| <= px (dynamic_update_slice clamps)
-    lead = px
-    width = lead + max((nx - 1) * tw + w_ext, tile_w + 2 * px) + px
+    # non-negative for any |dmin| <= px (dynamic_update_slice clamps);
+    # 128-aligned because the kernel DMA x-start tx*tw+lead must be
+    # provably divisible by the lane tiling (r4_shard_tpu)
+    lead = ((px + 127) // 128) * 128
+    _h, width = _pad_hw(ny * sh + 2 * halo_y,
+                        lead + max((nx - 1) * tw + w_ext, tile_w + 2 * px)
+                        + px)
 
     def prep(g, xoff):
-        shape = (ny * sh + 2 * halo_y, width)
+        shape = (_h, width)
         if batched:
             P = jnp.zeros((g.shape[0],) + shape, jnp.float32)
             return jax.lax.dynamic_update_slice(
