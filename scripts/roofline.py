@@ -202,3 +202,119 @@ if __name__ == "__main__":
              single_view=True, restricted=True, n_live=_n_live(c96))
     cts = dataclasses.replace(cfg, vmem_mb=32)
     roofline(288, 384, cts, "Tsukuba dual vmem32 warm-cache profile")
+
+
+def stream_roofline(H, W, cfg, label, measured_ms=None, single_view=False,
+                    y_impl="roll", force_tiles=None, n_slices=None):
+    """Round-4 streaming-y strip-carry kernel model.
+
+    Each program column walks top-to-bottom carrying the last A rows of
+    every per-slice x-window sum in persistent VMEM scratch; a strip
+    computes exactly ``sh`` NEW rows of every quantity (no y-halo
+    recompute).  Issued rows per column = nyp*sh ~ H + A + 2r + ceil
+    waste; extra VPU work = the carry-copy shuffles (carry_bufs * A
+    rows per strip, 1 op/elt) — this is the A/2-row per-strip charge
+    the stream tile picker optimizes.  y window sums: 'roll' pays the
+    same log-doubling ops as x on the sh new rows; 'mxu' runs
+    (sh, sh+A)-banded matmuls (6 HIGHEST passes)."""
+    from stereo_matching_cuda_tpu.ops.pallas_guided import (
+        _dual_stream_n_live, _pick_tiles_stream, _stream_carry,
+        _stream_n_live, _stream_sh_cap, fused_geometry)
+
+    size_d = n_slices or cfg.size_d
+    geom = fused_geometry(cfg) if single_view else dual_geometry(cfg)
+    _, px = geom
+    A = _stream_carry(cfg.radius)
+    if force_tiles:
+        sh, tw = force_tiles
+    elif single_view:
+        sh, tw = _pick_tiles_stream(H, W, px, cfg.radius, size_d,
+                                    _vmem_params(cfg)[0],
+                                    _stream_n_live(cfg),
+                                    max_sh=_stream_sh_cap(cfg))
+    else:
+        sh, tw = _pick_tiles_stream(H, W, px, cfg.radius, size_d,
+                                    _vmem_params(cfg)[0],
+                                    _dual_stream_n_live(cfg),
+                                    carry_bufs=8 * size_d + 4,
+                                    max_sh=_stream_sh_cap(cfg))
+    sha = sh + A
+    w_ext = ((tw + 2 * px + 127) // 128) * 128
+    nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
+    nx = (W + tw - 1) // tw
+    n_prog = nyp * nx
+    ext = sha * w_ext                       # rows a strip computes over
+
+    r = cfg.radius
+    k = 2 * r + 1
+    xsum_ops = 2 * int(math.log2(k)) + 2 * (bits(k) - 1) + 1 + 1
+    y_extra = {"roll": xsum_ops, "mxu3": 4}.get(y_impl, 0)
+    boxm_vpu = xsum_ops + 1 + y_extra
+    raw_cost = 2 + 7
+    per_view = 4 * boxm_vpu + 1 + 5 + 3 + 2 + 3 + 2
+    carry_bufs = (4 if single_view else 8) * size_d + (2 if single_view
+                                                       else 4)
+    if single_view:
+        slice_vpu = raw_cost + 1 + per_view
+        setup_vpu = 3 * boxm_vpu + 3 + 8
+        mac_scale = 1
+    else:
+        slice_vpu = raw_cost + 1 + 2 * per_view
+        setup_vpu = 6 * boxm_vpu + 6 + 8
+        mac_scale = 2
+
+    vpu_ops = n_prog * (ext * (size_d * slice_vpu + setup_vpu)
+                        + carry_bufs * A * w_ext)   # carry copies
+    if y_impl == "roll":
+        mxu_flops = 0
+    else:
+        passes = 3 if y_impl == "mxu3" else 6
+        band_macs = rows8(sh) * rows8(sha) * tiles(w_ext) * T
+        mxu_flops = n_prog * passes * 2 * (
+            size_d * mac_scale * 2 * band_macs + 3 * mac_scale * band_macs)
+    hbm_bytes = n_prog * (2 * ext + (2 if single_view else 4) * sh * tw) * 4
+
+    t_vpu = vpu_ops / VPU_PEAK * 1e3
+    t_mxu = mxu_flops / MXU_PEAK * 1e3
+    t_hbm = hbm_bytes / HBM_BW * 1e3
+    bound = max(t_vpu, t_mxu, t_hbm)
+    print(f"\n{label}: {H}x{W}, D={size_d}, stream tiles=({sh},{tw}) "
+          f"(strip ext {sha}x{w_ext}, {n_prog} programs, "
+          f"issued ratio {n_prog*ext/(H*W):.2f}x)")
+    print(f"  VPU  {vpu_ops/1e9:8.2f} Gop    -> {t_vpu:7.3f} ms")
+    print(f"  MXU  {mxu_flops/1e9:8.2f} GFLOP -> {t_mxu:7.3f} ms")
+    print(f"  HBM  {hbm_bytes/1e6:8.2f} MB    -> {t_hbm:7.3f} ms")
+    who = "VPU" if bound == t_vpu else "MXU" if bound == t_mxu else "HBM"
+    print(f"  bound = {bound:.3f} ms ({who}-limited)")
+    if measured_ms:
+        print(f"  measured {measured_ms:.3f} ms -> "
+              f"{bound/measured_ms*100:.0f}% of speed-of-light")
+    return bound
+
+
+def _round4_shipped():
+    """Round-4 streaming configs vs their measured frame times."""
+    print("\n=== round-4 shipped streaming configs ===")
+    cfg = DEFAULT_CONFIG
+    cfast = dataclasses.replace(cfg, stream=True, y_sum="roll", vmem_mb=32)
+    stream_roofline(288, 384, cfast,
+                    "Tsukuba dual stream roll vmem32 (--fast; frame 0.449)",
+                    measured_ms=0.449, y_impl="roll")
+    c64 = dataclasses.replace(cfg, vmem_mb=64, unroll_max=8, y_sum="roll",
+                              stream=True)
+    b = stream_roofline(1992, 3008, c64,
+                        "6 MP stream fori roll vmem64 PER VIEW "
+                        "(frame 17.9-18.3 = 2x this + glue)",
+                        single_view=True, y_impl="roll")
+    print(f"  -> 2 views = {2*b:.2f} ms of the ~18 ms frame")
+    c128 = dataclasses.replace(cfg, d_min=-127, d_max=0, vmem_mb=128,
+                               y_sum="roll", stream=True)
+    b = stream_roofline(1988, 2948, c128,
+                        "5.9 MP/128 d stream roll vmem128 PER VIEW "
+                        "(frame 148.3-148.6 = 2x this + glue)",
+                        single_view=True, y_impl="roll")
+    print(f"  -> 2 views = {2*b:.2f} ms of the ~148.5 ms frame")
+
+
+if __name__ == "__main__" and "--r4" in sys.argv:
+    _round4_shipped()
