@@ -310,3 +310,47 @@ def test_stream_disparity_sharded(tsukuba):
     dmap = np.asarray(out["disparity_left"][0])
     mism = int((dmap != want_dmap).sum())
     assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
+
+
+@pytest.mark.parametrize("tile_hw,batched,stream", [
+    ((96, 320), True, False), ((96, 320), True, True),
+    ((77, 183), False, False), ((77, 183), False, True),
+    ((96, 320), False, False),
+])
+def test_local_entry_mosaic_alignment(monkeypatch, tile_hw, batched, stream):
+    """Real-Mosaic requirement interpret mode cannot check (r4 hardware
+    bug, r4_shard_tpu): every HBM image handed to pallas_call must be
+    (8,128)-tiling-aligned, and the kernel's DMA x-start tx*tw+lead
+    must be 128-divisible.  Intercept pallas_call and assert on the
+    shapes the local entry actually builds."""
+    import jax.experimental.pallas as pl
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    seen = []
+    orig = pl.pallas_call
+
+    def spy(kernel, *a, **k):
+        inner = orig(kernel, *a, **{**k, "interpret": True})
+
+        def run(*args):
+            for x in args:
+                if hasattr(x, "shape") and x.ndim >= 2 and x.dtype == jnp.float32:
+                    seen.append(x.shape)
+            return inner(*args)
+
+        return run
+
+    monkeypatch.setattr(pl, "pallas_call", spy)
+    th, tw_ = tile_hw
+    cfg = dataclasses.replace(DEFAULT_CONFIG, stream=stream)
+    halo_y, px = pg.fused_geometry(cfg)
+    g = np.random.default_rng(0).integers(
+        0, 255, (th + 2 * halo_y, tw_ + 2 * px), np.uint8).astype(np.float32)
+    if batched:
+        g = g[None]
+    pg.guided_wta_fused_local(jnp.asarray(g), jnp.asarray(g), 0, 0,
+                              cfg.d_min, cfg, th * 2, tw_ * 2, th, tw_)
+    imgs = [s for s in seen if s[-1] > 256]       # the two prepped images
+    assert imgs, "no prepped HBM images captured"
+    for s in imgs:
+        assert s[-2] % 8 == 0 and s[-1] % 128 == 0, s
