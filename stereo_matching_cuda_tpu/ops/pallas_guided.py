@@ -69,8 +69,15 @@ def _pick_tiles(h: int, w: int, px: int, halo_y: int,
     fori; the dual-view kernel runs two guided chains per slice and
     needs more), plus the (she, she) band matrix and DMA scratch."""
     best = None
-    tws = sorted({tw for tw in (w, 2048, 1792, 1536, 1280, 1024, 896,
-                                768, 640, 512, 384, 256) if tw <= w})
+    # the whole-width candidate rounds UP to the 128-lane tiling: with
+    # tw = w and w % 128 != 0 the output array (nx*tw wide) is an
+    # unaligned Mosaic memref — measured compile crash (r4_midvmem,
+    # (216,1504)).  tw > w is safe: the kernel masks beyond W and the
+    # wrapper crops.
+    w_cand = ((w + 127) // 128) * 128
+    tws = sorted({w_cand} | {tw for tw in (2048, 1792, 1536, 1280, 1024,
+                                           896, 768, 640, 512, 384, 256)
+                             if tw <= w})
     shs = [s for s in (512, 448, 384, 320, 256, 224, 192, 160, 128, 96,
                        64, 48, 32, 24, 16, 8) if s <= max(8, h)]
     for tw in tws:
@@ -710,9 +717,10 @@ def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
     # the compile subprocess; (128,1536) compiles in 17 s and ships as
     # the wide-D vmem128 pick) — candidates cap at the measured-good
     # 1536 unless the frame itself is narrower
-    tws = sorted({tw for tw in (w, 1536, 1280,
-                                1024, 896, 768, 640, 512, 384, 256)
-                  if tw <= min(w, 1536)})
+    w_cand = ((w + 127) // 128) * 128   # aligned whole-width candidate
+    tws = sorted(({w_cand} if w_cand <= 1536 else set()) | {
+        tw for tw in (1536, 1280, 1024, 896, 768, 640, 512, 384, 256)
+        if tw <= min(w, 1536)})
     # strip-height candidates: a coarse fixed ladder PLUS the minimal
     # 8-aligned height for each strip count — those are exactly the
     # zero-ceil-waste points (e.g. 330 rows: 7x48, 3x112, 2x168),

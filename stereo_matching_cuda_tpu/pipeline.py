@@ -162,6 +162,13 @@ _STREAM_PIXELS: int | None = _STRATEGY_PIXELS
 # does not bind the streaming working set).
 _WIDE_STREAM_VMEM_MB: int | None = 128
 
+# Mid-band (0.4-2 MP) streaming frames take vmem32 (r4_midvmem:
+# 704x768 1.11 vs 1.77 ms, 896x1152 2.65 vs 4.06, 1 MP 4.92 vs 5.42 —
+# fori-class compiles; 512x512 measured best at the 16 MiB default so
+# the gate sits above it).  None disables.
+_MID_STREAM_VMEM_MB: int | None = 32
+_MID_VMEM_PIXELS = 400_000
+
 
 def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     """Resolve the frame-size-dependent kernel strategy.  Only frames
@@ -180,6 +187,11 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     if (_STREAM_PIXELS and cfg.stream is None and h * w >= _STREAM_PIXELS
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, stream=True)
+    if (_MID_STREAM_VMEM_MB and cfg.vmem_mb is None
+            and _MID_VMEM_PIXELS <= h * w < _STAGED_PIXELS
+            and cfg.stream is True and cfg.size_d > unroll_max(cfg)
+            and cfg.fused in ("auto", True) and not cfg.exact_integral):
+        cfg = dataclasses.replace(cfg, vmem_mb=_MID_STREAM_VMEM_MB)
     if (_BIG_VMEM_MB and cfg.vmem_mb is None and h * w >= _STAGED_PIXELS
             and cfg.size_d > unroll_max(cfg)   # fori branch: fast compiles
             and cfg.fused in ("auto", True) and not cfg.exact_integral):

@@ -240,8 +240,9 @@ def test_effective_config_big_vmem_default():
     dual = dataclasses.replace(CFG, dual_view=True)
     assert dataclasses.replace(
         P.effective_config(dual, 1992, 3008), stream=None) == dual
-    # sub-staged-threshold frames keep the default budget
-    assert P.effective_config(CFG, 1024, 1472).vmem_mb is None
+    # sub-staged-threshold frames skip the BIG budgets (the mid-band
+    # streaming vmem32 default applies instead — r4_midvmem)
+    assert P.effective_config(CFG, 1024, 1472).vmem_mb == 32
     # exact/parity mode untouched
     exact = dataclasses.replace(wide, exact_integral=True)
     assert P.effective_config(exact, 1992, 3008) is exact
@@ -259,6 +260,15 @@ def test_effective_config_stream_default():
     assert P.effective_config(CFG, 1992, 3008).stream is True
     assert P.effective_config(CFG, 512, 512).stream is True
     assert P.effective_config(CFG, 1024, 1472).stream is True
+    # mid-band (0.4-2 MP) streaming frames take the measured vmem32
+    # (r4_midvmem: 704x768 -37%, 896x1152 -35%); 512x512 keeps 16 MiB
+    assert P.effective_config(CFG, 1024, 1472).vmem_mb == 32
+    assert P.effective_config(CFG, 704, 768).vmem_mb == 32
+    assert P.effective_config(CFG, 512, 512).vmem_mb is None
+    assert P.effective_config(
+        dataclasses.replace(CFG, stream=False), 704, 768).vmem_mb is None
+    assert P.effective_config(
+        dataclasses.replace(CFG, vmem_mb=16), 704, 768).vmem_mb == 16
     wide = P.effective_config(
         dataclasses.replace(CFG, d_min=-127, d_max=0), 1992, 3008)
     assert wide.stream is True and wide.vmem_mb == 128
