@@ -3,10 +3,11 @@
 The reference is a one-shot CLI; this framework additionally targets
 production serving, where a long-lived process is the natural unit —
 and on TPU it is also the PERFORMANCE unit: jit executables (including
-the `--vmem-mb 32` fast-profile kernel, whose Mosaic compile costs
-~32 min per process because the axon backend ignores jax's persistent
-compile cache — BENCH.md) are compiled once per (shape, config) and
-then served from the in-process cache at full speed.
+the `--fast` profile's streaming kernel — 0.40 ms Tsukuba frames
+behind a ~140 s Mosaic compile per process, BENCH.md r4) are compiled
+once per (shape, config) and then served from the in-process cache at
+full speed; `--serve-warmup HxW` pays that compile at startup instead
+of inside the first request.
 
 Protocol (JSON over HTTP, images base64):
 
