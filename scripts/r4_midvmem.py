@@ -38,11 +38,13 @@ perturb = jax.jit(lambda l, f: l + (f[..., None].astype(jnp.uint8) & 1))
 CONFIGS = []
 for (h, w) in SIZES:
     base = effective_config(DEFAULT_CONFIG, h, w)
-    for mb in (None, 32, 64):
-        label = f"{h}x{w} stream vmem{mb or 16}"
+    # pin every budget explicitly — effective_config now ships the
+    # mid-band vmem32 default this probe measured, so `base` alone no
+    # longer represents the 16 MiB baseline
+    for mb in (16, 32, 64):
+        label = f"{h}x{w} stream vmem{mb}"
         CONFIGS.append((label, scenes[(h, w)],
-                        base if mb is None
-                        else dataclasses.replace(base, vmem_mb=mb)))
+                        dataclasses.replace(base, vmem_mb=mb)))
 
 for label, sc, cfg in CONFIGS:
     lnp, rnp = sc["left"], sc["right"]

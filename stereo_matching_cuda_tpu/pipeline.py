@@ -190,6 +190,7 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     if (_MID_STREAM_VMEM_MB and cfg.vmem_mb is None
             and _MID_VMEM_PIXELS <= h * w < _STAGED_PIXELS
             and cfg.stream is True and cfg.size_d > unroll_max(cfg)
+            and cfg.size_d <= _UNROLL_MAX   # wide-D mid frames unmeasured
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, vmem_mb=_MID_STREAM_VMEM_MB)
     if (_BIG_VMEM_MB and cfg.vmem_mb is None and h * w >= _STAGED_PIXELS

@@ -348,9 +348,30 @@ def test_local_entry_mosaic_alignment(monkeypatch, tile_hw, batched, stream):
         0, 255, (th + 2 * halo_y, tw_ + 2 * px), np.uint8).astype(np.float32)
     if batched:
         g = g[None]
+    leads = []
+    if stream:
+        orig_tiles = pg._stream_tiles
+
+        def spy_tiles(*a, **k):
+            leads.append(k.get("lead", a[12] if len(a) > 12 else 0))
+            return orig_tiles(*a, **k)
+
+        monkeypatch.setattr(pg, "_stream_tiles", spy_tiles)
+    else:
+        orig_tiles = pg._fused_tiles
+
+        def spy_tiles(*a, **k):
+            leads.append(k.get("lead", a[13] if len(a) > 13 else 0))
+            return orig_tiles(*a, **k)
+
+        monkeypatch.setattr(pg, "_fused_tiles", spy_tiles)
     pg.guided_wta_fused_local(jnp.asarray(g), jnp.asarray(g), 0, 0,
                               cfg.d_min, cfg, th * 2, tw_ * 2, th, tw_)
     imgs = [s for s in seen if s[-1] > 256]       # the two prepped images
     assert imgs, "no prepped HBM images captured"
     for s in imgs:
         assert s[-2] % 8 == 0 and s[-1] % 128 == 0, s
+    # the kernel DMA x-start tx*tw+lead must be provably 128-divisible
+    # (second hardware failure mode, r4_shard_tpu) — tw candidates are
+    # 128-multiples, so lead must be too
+    assert leads and all(ld % 128 == 0 for ld in leads), leads
