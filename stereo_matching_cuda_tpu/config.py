@@ -129,6 +129,14 @@ class StereoConfig:
     # (hardware-measured winner per frame regime — BENCH.md round 4);
     # True/False force.
     stream: Optional[bool] = None
+    # Streaming-kernel cross-program DMA double-buffering: each grid
+    # program starts the NEXT program's input-tile DMA before its own
+    # compute (two-slot input scratch; TPU grid programs run
+    # sequentially, so program i's copy lands while program i-1
+    # computes).  Bit-identical outputs — only the DMA schedule moves.
+    # None = the module default (hardware-measured — BENCH.md round 4);
+    # True/False force.  Only the streaming kernels honor it.
+    dma_buffer: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -173,6 +181,10 @@ class StereoConfig:
         if self.stream not in (None, True, False):
             raise ValueError(
                 f"stream must be None, True or False, got {self.stream!r}")
+        if self.dma_buffer not in (None, True, False):
+            raise ValueError(
+                f"dma_buffer must be None, True or False, "
+                f"got {self.dma_buffer!r}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

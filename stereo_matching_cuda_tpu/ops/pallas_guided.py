@@ -671,11 +671,20 @@ def _stream_carry(r: int) -> int:
 _N_LIVE_STREAM_FORI = 30
 _N_LIVE_STREAM_UNROLL = 46
 
+# Streaming-kernel cross-program DMA double-buffering default (see
+# StereoConfig.dma_buffer); env override for benching.
+_DMA_BUFFER = os.environ.get("STEREO_DMA_BUFFER", "0") == "1"
+
+
+def use_dma_buffer(cfg: StereoConfig) -> bool:
+    return _DMA_BUFFER if cfg.dma_buffer is None else cfg.dma_buffer
+
 
 def _stream_n_live(cfg: StereoConfig, n_slices: int | None = None) -> int:
     size = cfg.size_d if n_slices is None else n_slices
-    return (_N_LIVE_STREAM_FORI if size > unroll_max(cfg)
-            else _N_LIVE_STREAM_UNROLL)
+    n = (_N_LIVE_STREAM_FORI if size > unroll_max(cfg)
+         else _N_LIVE_STREAM_UNROLL)
+    return n + 2 if use_dma_buffer(cfg) else n
 
 
 def use_stream(cfg: StereoConfig) -> bool:
@@ -762,11 +771,16 @@ def _make_stream_kernel(cfg: StereoConfig, H: int, W: int,
                         sh: int, tw: int, nx: int, nyp: int,
                         px: int, w_ext: int,
                         n_slices: int | None = None, lead: int = 0,
-                        nxy: int = 0):
+                        nxy: int = 0, n_prog: int = 0):
     """Streaming-y single-view kernel.  Grid order is x-column-major
     with strips innermost (tx = tile // nyp, ty = tile % nyp), so the
     persistent carry scratch walks each column top-to-bottom.  Scalar
-    prefetch and the dmin pre-shift convention match _make_kernel."""
+    prefetch and the dmin pre-shift convention match _make_kernel.
+
+    With ``cfg.dma_buffer`` the input scratch gets two slots and each
+    program starts program i+1's tile DMA before its own compute
+    (programs run sequentially on the core, so the copy overlaps the
+    current strip's compute); outputs are bit-identical either way."""
     r = cfg.radius
     A = _stream_carry(r)
     size_d = cfg.size_d if n_slices is None else n_slices
@@ -779,28 +793,49 @@ def _make_stream_kernel(cfg: StereoConfig, H: int, W: int,
     k = 2 * r + 1
     sha = sh + A
     impl = cfg.y_sum or _Y_SUM_IMPL
+    dbuf = use_dma_buffer(cfg)
 
     def kernel(origin_ref, i1_hbm, i2_hbm, best_ref, dmap_ref,
                v1, v2, cg, c1a, c1b, c2a, c2b, sems):
-        tile = pl.program_id(0)
-        if nxy:
-            fb = tile // nxy
-            tile = tile % nxy
+        tile_abs = pl.program_id(0)
+        tile = tile_abs % nxy if nxy else tile_abs
         tx = tile // nyp
         ty = tile % nyp
         y0 = ty * sh - 2 * A + origin_ref[0]    # global row of DMA row 0
         x0 = tx * tw - px + origin_ref[1]
         dmin = origin_ref[2]
-        src1 = i1_hbm.at[fb] if nxy else i1_hbm
-        src2 = i2_hbm.at[fb] if nxy else i2_hbm
-        d1 = pltpu.make_async_copy(
-            src1.at[pl.ds(ty * sh, sha), pl.ds(tx * tw + lead, w_ext)],
-            v1, sems.at[0])
-        d2 = pltpu.make_async_copy(
-            src2.at[pl.ds(ty * sh, sha), pl.ds(tx * tw + lead, w_ext)],
-            v2, sems.at[1])
-        d1.start()
-        d2.start()
+
+        def copies(t, slot=None):
+            """The two input-tile DMAs of program ``t`` (static or
+            traced); ``slot`` picks the double-buffer half."""
+            tl = t % nxy if nxy else t
+            tx_, ty_ = tl // nyp, tl % nyp
+            s1 = i1_hbm.at[t // nxy] if nxy else i1_hbm
+            s2 = i2_hbm.at[t // nxy] if nxy else i2_hbm
+            dst1, dst2 = (v1, v2) if slot is None else (v1.at[slot],
+                                                        v2.at[slot])
+            sem1, sem2 = ((sems.at[0], sems.at[1]) if slot is None
+                          else (sems.at[slot, 0], sems.at[slot, 1]))
+            rows, cols = pl.ds(ty_ * sh, sha), pl.ds(tx_ * tw + lead, w_ext)
+            return (pltpu.make_async_copy(s1.at[rows, cols], dst1, sem1),
+                    pltpu.make_async_copy(s2.at[rows, cols], dst2, sem2))
+
+        if dbuf:
+            slot = tile_abs % 2
+
+            @pl.when(tile_abs == 0)   # warm-up: nobody prefetched us
+            def _():
+                for c in copies(0, 0):
+                    c.start()
+
+            @pl.when(tile_abs + 1 < n_prog)
+            def _():                  # prefetch the next program's tiles
+                for c in copies(tile_abs + 1, (tile_abs + 1) % 2):
+                    c.start()
+        else:
+            d1, d2 = copies(tile_abs)
+            d1.start()
+            d2.start()
 
         @pl.when(ty == 0)   # new column: carries represent rows whose
         def _():            # true x-sums are zero (above the crop reach)
@@ -810,14 +845,21 @@ def _make_stream_kernel(cfg: StereoConfig, H: int, W: int,
             c2a[...] = jnp.zeros_like(c2a)
             c2b[...] = jnp.zeros_like(c2b)
 
-        d1.wait()
-        d2.wait()
         # local row bands of the (sha, w_ext) window:
         #   cost rows  [A, sha)            ↔ global y0 + A + i
         #   q rows     [A - 2r, A - 2r + sh) ↔ global y0 + A - 2r + i
-        I1c = v1[A:sha]
-        I2c = v2[A:sha]
-        I1q = v1[A - 2 * r : A - 2 * r + sh]
+        if dbuf:
+            for c in copies(tile_abs, slot):
+                c.wait()
+            I1c = v1[slot, A:sha]
+            I2c = v2[slot, A:sha]
+            I1q = v1[slot, A - 2 * r : A - 2 * r + sh]
+        else:
+            d1.wait()
+            d2.wait()
+            I1c = v1[A:sha]
+            I2c = v2[A:sha]
+            I1q = v1[A - 2 * r : A - 2 * r + sh]
 
         gxc = jax.lax.broadcasted_iota(jnp.int32, (sh, w_ext), 1) + x0
         gyc = jax.lax.broadcasted_iota(jnp.int32, (sh, w_ext), 0) + (y0 + A)
@@ -930,7 +972,9 @@ def _stream_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
 
     kernel = _make_stream_kernel(cfg, Hg, Wg, sh, tw, nx, nyp, px, w_ext,
                                  n_slices, lead,
-                                 nxy=nx * nyp if nb else 0)
+                                 nxy=nx * nyp if nb else 0, n_prog=n_prog)
+    dbuf = use_dma_buffer(cfg)
+    in_shape = ((2, sh + A, w_ext) if dbuf else (sh + A, w_ext))
     _, vmem_limit = _vmem_params(cfg)
     best, dmap = pl.pallas_call(
         kernel,
@@ -946,14 +990,14 @@ def _stream_tiles(p1, p2, origin, cfg, Hg, Wg, out_h, out_w,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
-                pltpu.VMEM((sh + A, w_ext), jnp.float32),
-                pltpu.VMEM((sh + A, w_ext), jnp.float32),
+                pltpu.VMEM(in_shape, jnp.float32),
+                pltpu.VMEM(in_shape, jnp.float32),
                 pltpu.VMEM((2, A, w_ext), jnp.float32),
                 pltpu.VMEM((size_d, A, w_ext), jnp.float32),
                 pltpu.VMEM((size_d, A, w_ext), jnp.float32),
                 pltpu.VMEM((size_d, A, w_ext), jnp.float32),
                 pltpu.VMEM((size_d, A, w_ext), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, 2) if dbuf else (2,)),
             ],
             out_specs=[
                 pl.BlockSpec((1, sh, tw), lambda i, ref: (i, 0, 0)),

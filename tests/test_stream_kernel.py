@@ -194,6 +194,39 @@ def test_stream_tsukuba_near_parity(tsukuba):
     assert mism <= want_dmap.size * 2e-4, f"{mism}/{want_dmap.size}"
 
 
+def test_stream_dma_buffer_bit_identical(monkeypatch):
+    """cfg.dma_buffer double-buffers the input-tile DMA across grid
+    programs (two-slot input scratch; program i starts program i+1's
+    copies before its own compute — see _make_stream_kernel).  Only
+    the DMA schedule moves, so outputs are BIT-identical to the
+    single-buffer kernel — across multi-strip columns, x-tile seams,
+    both d-loop branches, and the batched grid (where the prefetch
+    crosses frame boundaries)."""
+    import stereo_matching_cuda_tpu.ops.pallas_guided as pg
+
+    monkeypatch.setattr(pg, "_pick_tiles_stream", lambda *a, **k: (32, 256))
+    g1, g2 = _pair(96, 600, seed=21)
+    for kw in ({}, {"unroll_max": 4}):        # unrolled + fori branches
+        cfg0 = dataclasses.replace(CFG, dma_buffer=False, **kw)
+        cfg1 = dataclasses.replace(cfg0, dma_buffer=True)
+        b0, d0 = _fused(g1, g2, cfg0)
+        b1, d1 = _fused(g1, g2, cfg1)
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(b0, b1)
+    frames = [_pair(48, 96, seed=s) for s in (4, 5)]
+    gb1 = np.stack([f[0] for f in frames])
+    gb2 = np.stack([f[1] for f in frames])
+    monkeypatch.setattr(pg, "_pick_tiles_stream", lambda *a, **k: (24, 96))
+    cfg0 = dataclasses.replace(CFG, dma_buffer=False)
+    cfg1 = dataclasses.replace(cfg0, dma_buffer=True)
+    out0 = pg.guided_wta_fused.__wrapped__(
+        jnp.asarray(gb1), jnp.asarray(gb2), CFG.d_min, cfg0)
+    out1 = pg.guided_wta_fused.__wrapped__(
+        jnp.asarray(gb1), jnp.asarray(gb2), CFG.d_min, cfg1)
+    for t0, t1 in zip(out0, out1):
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
 def _dual(g1, g2, cfg):
     import stereo_matching_cuda_tpu.ops.pallas_guided as pg
 
