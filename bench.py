@@ -33,10 +33,12 @@ Set STEREO_BENCH_SKIP_BIG=1 to skip the 6 MP measurement,
 STEREO_BENCH_SKIP_BATCH=1 to skip the B=8 sequence-throughput
 measurement (BASELINE config #5), and STEREO_BENCH_SKIP_WIDED=1 to
 skip the 5.9 MP x 128-disparity measurement (BASELINE config #4).
-Set STEREO_BENCH_FAST=1 to ALSO measure the Tsukuba `--fast` profile
-(stream + roll + vmem32) — off by default because its two chain
-executables each pay a multi-minute Mosaic compile (BENCH.md r4:
-0.449 ms / 2,229 fps measured).
+
+The former STEREO_BENCH_FAST section is gone: since the round-4
+sub-200k strategy flip (pipeline._SMALL_STRATEGY — r4_tsufori), the
+DEFAULT path at Tsukuba scale IS the fast profile (single-view fori
+stream + roll + vmem32, 0.383 ms at ~6 s chain compiles), so the
+headline measurement already covers it.
 """
 
 import json
@@ -290,21 +292,6 @@ def main():
     extra = {"tsukuba_ms_per_frame": round(per * 1e3, 3)}
     if synthetic:
         extra["synthetic_input"] = True
-    if os.environ.get("STEREO_BENCH_FAST"):
-        try:
-            import dataclasses
-
-            fast_cfg = dataclasses.replace(
-                DEFAULT_CONFIG, stream=True, y_sum="roll", vmem_mb=32)
-            fper, _, _ = timed_frames(fast_cfg, l, r, log=log)
-            ffps = 1.0 / fper if fper > 0 else float("inf")
-            log(f"tsukuba --fast profile: {fper*1e3:.3f} ms/frame "
-                f"({ffps:.0f} fps)")
-            extra["tsukuba_fast_ms_per_frame"] = round(fper * 1e3, 3)
-            extra["tsukuba_fast_fps"] = round(ffps, 1)
-        except Exception as e:
-            log(f"fast-profile bench failed: {e!r}")
-            extra["tsukuba_fast_error"] = repr(e)
     if not os.environ.get("STEREO_BENCH_SKIP_BATCH"):
         try:
             batch_ms = bench_batch(np.asarray(left_np), np.asarray(right_np),

@@ -80,13 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "default: module default per frame regime)")
     p.add_argument("--fast", action="store_true",
                    help="small-frame throughput profile: fills --stream on, "
-                        "--y-sum roll, --vmem-mb 32 for knobs left unset "
-                        "(Tsukuba 0.449 ms vs the 0.63 default — BENCH.md "
-                        "r4).  Pays a 140 s Mosaic compile per process "
-                        "(single-frame executable; measured r4_sweep); "
-                        "worth it for --serve / --sequence runs.  Frames "
-                        "≥200k px already stream by default at their own "
-                        "measured budgets — prefer bare defaults there")
+                        "--y-sum roll, --vmem-mb 32, --unroll-max 8 for "
+                        "knobs left unset.  Since the round-4 default "
+                        "strategy flip this EQUALS the sub-200k auto "
+                        "default (single-view fori stream, Tsukuba "
+                        "0.383 ms at ~6 s compiles — r4_tsufori); the flag "
+                        "remains as an explicit pin against future "
+                        "auto-strategy changes")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",
@@ -225,6 +225,8 @@ def main(argv=None) -> int:
             args.y_sum = "roll"
         if args.vmem_mb is None:
             args.vmem_mb = 32
+        if args.unroll_max is None:
+            args.unroll_max = 8
     try:
         cfg = StereoConfig(
             d_min=args.d_min, d_max=args.d_max, alpha=args.alpha,

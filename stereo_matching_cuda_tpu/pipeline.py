@@ -152,10 +152,21 @@ _WIDE_VMEM_MB: int | None = 96     # wide ranges (size_d > _UNROLL_MAX)
 # kernel removes the y-halo recompute and wins every probe at or above
 # 512x512 — 512² 0.89 vs 1.05, 704×768 1.40 vs 2.74, 1 MP 4.62 vs
 # 6.27, 3 MP 9.36 vs 9.89, 6 MP 17.87 vs 20.26, 5.9 MP/128 d 148.8 vs
-# 163.4 ms — with fori-branch compile times (3-24 s).  Sub-200k-px
-# frames keep the non-stream default (the dual-stream win needs the
-# --fast profile's minutes-long unrolled compile).  None disables.
+# 163.4 ms — with fori-branch compile times (3-24 s).  None disables.
 _STREAM_PIXELS: int | None = _STRATEGY_PIXELS
+
+# Sub-200k-px (Tsukuba-class) strategy, round 4 (scripts/r4_tsufori.py
+# — BENCH.md): the single-view FORI streaming kernel at vmem32 picks a
+# single full-height strip ((336,384) on Tsukuba) and measured
+# 0.383 ms/frame (2,613 fps) vs 0.582 for the previous non-stream dual
+# unrolled default IN THE SAME PROCESS — while its chain executables
+# Mosaic-compile in ~6 s vs ~150 s.  Strictly better on both axes, so
+# it is the default; the dual fori stream measured 0.416-0.422, dual
+# fori mxu 0.488, and the old unrolled-roll `--fast` profile 0.401-
+# 0.449 behind a 272 s compile.  unroll_max=8 forces the fori branch
+# (and thereby resolves dual_view "auto" to the two per-view calls).
+_SMALL_STRATEGY: dict | None = {
+    "unroll_max": 8, "y_sum": "roll", "vmem_mb": 32, "stream": True}
 
 # Wide-range streaming frames take vmem128 (r4_decider: 148.8 ms at
 # (128,1536) vs 159.8 at vmem96 — the old kernel's 120 MiB VMEM edge
@@ -184,6 +195,13 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
             and cfg.y_sum is None and cfg.fused == "auto"
             and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, **_BIG_STRATEGY)
+    if (_SMALL_STRATEGY and h * w < _STRATEGY_PIXELS
+            and cfg.size_d <= unroll_max(cfg)
+            and cfg.dual_view == "auto" and cfg.unroll_max is None
+            and cfg.y_sum is None and cfg.vmem_mb is None
+            and cfg.stream is None and cfg.fused == "auto"
+            and not cfg.exact_integral):
+        cfg = dataclasses.replace(cfg, **_SMALL_STRATEGY)
     if (_STREAM_PIXELS and cfg.stream is None and h * w >= _STREAM_PIXELS
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, stream=True)

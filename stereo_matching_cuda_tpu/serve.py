@@ -2,11 +2,11 @@
 
 The reference is a one-shot CLI; this framework additionally targets
 production serving, where a long-lived process is the natural unit —
-and on TPU it is also the PERFORMANCE unit: jit executables (including
-the `--fast` profile's streaming kernel — 0.40 ms Tsukuba frames
-behind a ~140 s Mosaic compile per process, BENCH.md r4) are compiled
-once per (shape, config) and then served from the in-process cache at
-full speed; `--serve-warmup HxW` pays that compile at startup instead
+and on TPU it is also the PERFORMANCE unit: jit executables are
+compiled once per (shape, config) and then served from the in-process
+cache at full speed (the round-4 default strategy serves 0.383 ms
+Tsukuba frames behind only a ~6 s Mosaic compile — r4_tsufori,
+BENCH.md); `--serve-warmup HxW` pays that compile at startup instead
 of inside the first request.
 
 Protocol (JSON over HTTP, images base64):
@@ -217,9 +217,10 @@ def make_server(host: str, port: int, cfg: StereoConfig,
 
 def warmup(cfg: StereoConfig, h: int, w: int) -> float:
     """Compile the serving executable for (h, w) frames before the
-    first request (the --fast profile's Mosaic compile is minutes on a
-    cold process — BENCH.md r4; on a warm server it is request-free).
-    Returns the compile+first-frame seconds."""
+    first request (seconds for the default strategy, minutes for
+    explicitly-pinned unrolled-emission profiles — BENCH.md r4; on a
+    warm server it is request-free).  Returns the compile+first-frame
+    seconds."""
     from .pipeline import compute_disparity
 
     rng = np.random.default_rng(0)

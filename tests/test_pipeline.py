@@ -173,11 +173,13 @@ def test_effective_config_big_frame_strategy(monkeypatch):
 
     monkeypatch.setattr(P, "_BIG_STRATEGY", None)
     monkeypatch.setattr(P, "_STREAM_PIXELS", None)
+    monkeypatch.setattr(P, "_SMALL_STRATEGY", None)
     assert P.effective_config(CFG, 288, 384) is CFG          # small
     assert P.effective_config(CFG, 1992, 3008) is CFG        # None = inert
     monkeypatch.undo()
 
     monkeypatch.setattr(P, "_BIG_STRATEGY", {"unroll_max": 8, "y_sum": "roll"})
+    monkeypatch.setattr(P, "_SMALL_STRATEGY", None)
     assert P.effective_config(CFG, 288, 384) is CFG          # small frame
     big = P.effective_config(CFG, 1992, 3008)
     assert big.unroll_max == 8 and big.y_sum == "roll"
@@ -206,8 +208,11 @@ def test_effective_config_big_frame_default_live():
     wide = P.effective_config(
         dataclasses.replace(CFG, d_min=-127, d_max=0), 1992, 3008)
     assert wide.y_sum == "roll" and wide.unroll_max is None
-    # gate sits between Tsukuba (dual wins) and 512x512 (fori wins)
-    assert P.effective_config(CFG, 288, 384) is CFG
+    # sub-200k frames get the SMALL strategy instead (r4_tsufori:
+    # single-view fori stream roll vmem32, 0.383 ms at ~6 s compiles)
+    small = P.effective_config(CFG, 288, 384)
+    assert small.unroll_max == 8 and small.y_sum == "roll"
+    assert small.stream is True and small.vmem_mb == 32
     assert P.effective_config(CFG, 512, 512).y_sum == "roll"
 
 
@@ -278,8 +283,35 @@ def test_effective_config_stream_default():
         dataclasses.replace(CFG, d_min=-127, d_max=0, stream=False),
         1992, 3008)
     assert off.stream is False and off.vmem_mb == 96
-    # sub-200k-px frames are untouched
-    assert P.effective_config(CFG, 288, 384) is CFG
+    # sub-200k-px frames stream too now, via the small strategy
+    assert P.effective_config(CFG, 288, 384).stream is True
     # parity mode untouched
     exact = dataclasses.replace(CFG, exact_integral=True)
     assert P.effective_config(exact, 1992, 3008) is exact
+
+
+def test_effective_config_small_frame_strategy():
+    """Sub-200k-px frames get the round-4 small strategy (r4_tsufori:
+    single-view fori stream + roll + vmem32 = 0.383 ms Tsukuba at ~6 s
+    chain compiles, vs 0.582 / ~150 s for the old non-stream dual
+    default); any explicit kernel knob opts the frame out."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu import pipeline as P
+
+    small = P.effective_config(CFG, 288, 384)
+    assert small.unroll_max == 8 and small.y_sum == "roll"
+    assert small.vmem_mb == 32 and small.stream is True
+    # unroll_max=8 < size_d=16 resolves dual_view "auto" to single-view
+    assert not P.use_dual_view(small)
+    # any explicit knob wins (the whole rewrite backs off)
+    for user in [dataclasses.replace(CFG, y_sum="mxu"),
+                 dataclasses.replace(CFG, unroll_max=16),
+                 dataclasses.replace(CFG, dual_view=True),
+                 dataclasses.replace(CFG, vmem_mb=16),
+                 dataclasses.replace(CFG, stream=False),
+                 dataclasses.replace(CFG, exact_integral=True)]:
+        assert P.effective_config(user, 288, 384) == user
+    # wide ranges at small frames are out of scope (unmeasured)
+    wide = dataclasses.replace(CFG, d_min=-127, d_max=0)
+    assert P.effective_config(wide, 288, 384) == wide
