@@ -94,11 +94,15 @@ def _timeit(f, l, r):
     return time.time() - t0
 
 
-def timed_frames(cfg, l, r, n_small=17, n_big=49, log=lambda *a: None):
+def timed_frames(cfg, l, r, n_small=49, n_big=145, log=lambda *a: None):
     """Per-frame time = (t_big - t_small) / (n_big - n_small), both
     executables chained-in-jit.  Differencing two LARGE chains (not
     N=1) cancels the per-dispatch tunnel overhead, whose ±4 ms jitter
-    otherwise swamps a sub-ms frame; min of 3 runs each."""
+    otherwise swamps a sub-ms frame; min of 5 runs each.  The round-4
+    default's 0.38 ms frames need the wider 96-frame window — the
+    jitter residue of the old 32-frame window was ±0.1 ms/frame
+    (r4_shsweep vs r4_tsufori spread), and the fori-emission chains
+    compile in seconds so the longer executables are nearly free."""
     fs = make_looped(cfg, n_small)
     fb = make_looped(cfg, n_big)
     t0 = time.time()
@@ -107,8 +111,8 @@ def timed_frames(cfg, l, r, n_small=17, n_big=49, log=lambda *a: None):
     t0 = time.time()
     float(fb(l, r))
     log(f"  N={n_big} first call (incl compile): {time.time()-t0:.1f}s")
-    ts = min(_timeit(fs, l, r) for _ in range(3))
-    tb = min(_timeit(fb, l, r) for _ in range(3))
+    ts = min(_timeit(fs, l, r) for _ in range(5))
+    tb = min(_timeit(fb, l, r) for _ in range(5))
     per = (tb - ts) / (n_big - n_small)
     return per, ts, tb
 
@@ -287,7 +291,7 @@ def main():
     per, ts, tb = timed_frames(DEFAULT_CONFIG, l, r, log=log)
     fps = 1.0 / per if per > 0 else float("inf")
     log(f"tsukuba full pipeline: {per*1e3:.2f} ms/frame chained "
-        f"(t17={ts*1e3:.1f} ms, t49={tb*1e3:.1f} ms) -> {fps:.0f} fps")
+        f"(t49={ts*1e3:.1f} ms, t145={tb*1e3:.1f} ms) -> {fps:.0f} fps")
 
     extra = {"tsukuba_ms_per_frame": round(per * 1e3, 3)}
     if synthetic:
