@@ -175,8 +175,14 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> 
     that the product routes through the staged path are profiled
     per-stage the same way (the composed prefix graph would hit the
     big-frame XLA compile pathology)."""
-    from .pipeline import use_fused_path, use_dual_view, use_staged_path
+    from .pipeline import (effective_config, use_fused_path, use_dual_view,
+                           use_staged_path)
 
+    # resolve the frame-size auto strategy exactly as the pipeline does,
+    # so the profile times the path the product actually runs (the
+    # r4 sub-200k flip moved Tsukuba from the dual to the single-view
+    # streaming kernel; idempotent for already-resolved configs)
+    cfg = effective_config(cfg, left.shape[0], left.shape[1])
     if use_staged_path(cfg, left.shape[0], left.shape[1]):
         return _staged_stage_table(left, right, cfg, n)
     fused = use_fused_path(cfg)
@@ -211,10 +217,11 @@ def batch_stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG,
     surface for sequence-throughput work: a stage whose per-frame cost
     matches the single-frame table is pure per-frame work that batching
     cannot amortize."""
-    from .pipeline import use_fused_path, use_dual_view
+    from .pipeline import effective_config, use_fused_path, use_dual_view
 
     if left.ndim != 4:
         raise ValueError(f"batch_stage_table needs (B,H,W,C), got {left.shape}")
+    cfg = effective_config(cfg, left.shape[1], left.shape[2])
     fused = use_fused_path(cfg)
     if fused and use_dual_view(cfg):
         fused = "dual"
