@@ -298,8 +298,16 @@ def _round4_shipped():
     cfg = DEFAULT_CONFIG
     cfast = dataclasses.replace(cfg, stream=True, y_sum="roll", vmem_mb=32)
     stream_roofline(288, 384, cfast,
-                    "Tsukuba dual stream roll vmem32 (--fast; frame 0.449)",
+                    "Tsukuba dual stream roll vmem32 (old --fast; 0.449)",
                     measured_ms=0.449, y_impl="roll")
+    csmall = dataclasses.replace(cfg, stream=True, y_sum="roll", vmem_mb=32,
+                                 unroll_max=8)
+    b = stream_roofline(288, 384, csmall,
+                        "Tsukuba single-view fori stream roll vmem32 "
+                        "PER VIEW (shipped default; frame 0.445 = 2x this "
+                        "+ LR/fill glue)",
+                        single_view=True, y_impl="roll")
+    print(f"  -> 2 views = {2*b:.3f} ms of the 0.445 ms frame")
     c64 = dataclasses.replace(cfg, vmem_mb=64, unroll_max=8, y_sum="roll",
                               stream=True)
     b = stream_roofline(1992, 3008, c64,
