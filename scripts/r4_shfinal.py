@@ -5,6 +5,13 @@ dispatch jitter leaves ±0.1 ms residue in a (t49-t17)/32 difference).
 Longer chains (N=49/145 → /96) and 5 reps per executable cut the
 residue ~3x.  Candidates: the shipped auto pick (336,384) and the
 sweep's low-noise contenders.
+
+POST-MORTEM: the sh=136/sh=88 vmem32 rows share the shipped row's
+StereoConfig, so the jit trace cache ignored the forced tiles and
+they re-measured the auto (336,384) executable (see BENCH.md
+"Methodology post-mortem").  The decider's valid comparison is
+auto (336,384)@vmem32 0.445 vs the distinct-cfg (168,384)@vmem24
+0.442 — tied, auto stands.
 """
 
 import dataclasses

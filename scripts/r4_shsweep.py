@@ -7,6 +7,15 @@ itself also matters).  The picker's issued-work objective misses this.
 Sweep forced strip heights on the single-view fori stream roll kernel
 (chain-of-17/49, one process) to find the real optimum before
 adjusting _SMALL_STRATEGY.
+
+POST-MORTEM (do not trust the forced-sh rows): rows whose
+StereoConfig equals an earlier row's (all the vmem32 sh=... rows)
+never re-ran _pick_tiles_stream — the fused wrapper is an inner jit
+with static cfg and the jaxpr trace cache skips retracing, so the
+monkeypatched picker was never called and those rows re-measured the
+first row's auto (336,384) executable plus jitter.  Only the
+vmem24/vmem16 rows measured distinct executables.  See BENCH.md
+"Methodology post-mortem"; give every forced-tile row a distinct cfg.
 """
 
 import dataclasses

@@ -17,6 +17,13 @@ probe measures the fori-branch streaming variants at Tsukuba scale:
 
 against the pinned DEFAULT_CONFIG baseline in the same process.
 Chain-of-17/49 fori-loop differencing (BENCH.md methodology).
+
+POST-MORTEM: the forced (112,384) row shares the auto row's
+StereoConfig, so the jit trace cache ignored the forced tiles and it
+re-measured the (168,384) auto executable (0.416 vs 0.422 — same
+kernel plus jitter).  All OTHER rows have distinct cfgs and are
+valid; the decider conclusions (single-view fori stream wins, dual
+loses) are unaffected.  See BENCH.md "Methodology post-mortem".
 """
 
 import dataclasses

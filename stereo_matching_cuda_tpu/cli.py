@@ -84,9 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "knobs left unset.  Since the round-4 default "
                         "strategy flip this EQUALS the sub-200k auto "
                         "default (single-view fori stream, Tsukuba "
-                        "0.383 ms at ~6 s compiles — r4_tsufori); the flag "
+                        "0.445 ms at ~8 s compiles — r4_tsufori); the flag "
                         "remains as an explicit pin against future "
-                        "auto-strategy changes")
+                        "auto-strategy changes.  Frames >=200k px already "
+                        "stream by default at their own measured VMEM "
+                        "budgets (64/128 MiB at staged scale) — prefer "
+                        "bare defaults there; --fast pins vmem to 32")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the JAX pipeline")
     p.add_argument("--dump-intermediates", action="store_true",

@@ -134,8 +134,11 @@ class StereoConfig:
     # compute (two-slot input scratch; TPU grid programs run
     # sequentially, so program i's copy lands while program i-1
     # computes).  Bit-identical outputs — only the DMA schedule moves.
-    # None = the module default (hardware-measured — BENCH.md round 4);
-    # True/False force.  Only the streaming kernels honor it.
+    # None = the module default (hardware-measured NEGATIVE, off —
+    # BENCH.md round 4); True/False force.  Only the SINGLE-VIEW
+    # streaming kernel honors it; the dual-view streaming kernel
+    # ignores the knob (the decider was negative before it was worth
+    # porting there).
     dma_buffer: Optional[bool] = None
 
     # ------------------------------------------------------------------

@@ -196,11 +196,16 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
             and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, **_BIG_STRATEGY)
     if (_SMALL_STRATEGY and h * w < _STRATEGY_PIXELS
-            and cfg.size_d <= unroll_max(cfg)
+            and _SMALL_STRATEGY["unroll_max"] < cfg.size_d <= unroll_max(cfg)
             and cfg.dual_view == "auto" and cfg.unroll_max is None
             and cfg.y_sum is None and cfg.vmem_mb is None
             and cfg.stream is None and cfg.fused == "auto"
             and not cfg.exact_integral):
+        # the lower bound keeps the rewrite on the MEASURED fori branch:
+        # at size_d <= 8 an unroll_max=8 override would leave the dual
+        # UNROLLED stream+roll kernel (minutes of Mosaic compile,
+        # unmeasured perf) — those ranges keep the previous non-stream
+        # dual default instead
         cfg = dataclasses.replace(cfg, **_SMALL_STRATEGY)
     if (_STREAM_PIXELS and cfg.stream is None and h * w >= _STREAM_PIXELS
             and cfg.fused in ("auto", True) and not cfg.exact_integral):

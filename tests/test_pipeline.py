@@ -315,3 +315,12 @@ def test_effective_config_small_frame_strategy():
     # wide ranges at small frames are out of scope (unmeasured)
     wide = dataclasses.replace(CFG, d_min=-127, d_max=0)
     assert P.effective_config(wide, 288, 384) == wide
+    # narrow ranges (size_d <= 8) back off too: an unroll_max=8
+    # override would leave them on the dual UNROLLED stream kernel
+    # (minutes of Mosaic compile, unmeasured) instead of the measured
+    # fori branch — they keep the previous non-stream dual default
+    narrow = dataclasses.replace(CFG, d_min=-7, d_max=0)
+    assert P.effective_config(narrow, 288, 384) == narrow
+    assert P.effective_config(
+        dataclasses.replace(CFG, d_min=-8, d_max=0), 288, 384
+    ).stream is True  # size_d=9 > 8: smallest range the rewrite covers
