@@ -299,17 +299,27 @@ def compute_disparity(
     rgb_right: np.ndarray,
     cfg: StereoConfig = DEFAULT_CONFIG,
     full_outputs: bool = False,
+    keys: tuple | None = None,
 ) -> dict:
     """Host-convenience wrapper: numpy in → numpy out, blocking.
 
     Bike-scale frames automatically take the staged path (see
-    use_staged_path); the math is identical either way."""
+    use_staged_path); the math is identical either way.
+
+    ``keys`` limits which outputs are fetched to the host: every
+    fetched array is its own device→host transfer (30–40 ms each on a
+    tunneled dev TPU — r4_serve_smoke), so latency-sensitive callers
+    (the serving path) ask only for what they return.  The device
+    computes all outputs either way; unfetched ones are simply never
+    copied back."""
     if use_staged_path(cfg, rgb_left.shape[0], rgb_left.shape[1]):
         out = stereo_pipeline_staged(
             jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)
     else:
         out = stereo_pipeline(
             jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)
+    if keys is not None:
+        out = {k: out[k] for k in keys}
     return {k: np.asarray(v) for k, v in out.items()}
 
 

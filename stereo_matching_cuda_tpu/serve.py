@@ -184,7 +184,11 @@ class _Handler(BaseHTTPRequestHandler):
 
             t0 = time.time()
             with self.server.lock:
-                out = compute_disparity(left, right, cfg)
+                # fetch only the two outputs the response uses — each
+                # fetched array is its own device→host round-trip
+                out = compute_disparity(
+                    left, right, cfg,
+                    keys=("occlusion_filled", "occlusion"))
             dt = time.time() - t0
         except (ValueError, NotImplementedError) as e:
             return self._reply(400, {"error": str(e)})
