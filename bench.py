@@ -172,7 +172,7 @@ def bench_big(log):
 
     assert use_staged_path(cfg, 1992, 3008), "6 MP must take the staged path"
     big_l, big_r = _structured_pair(1992, 3008)
-    per_ms = _staged_chain_ms(cfg, big_l, big_r, log, "6MP")
+    per_ms = _staged_chain_ms(cfg, big_l, big_r, log, "6MP", n_big=9)
     log(f"6MP full pipeline (product staged path, structured frames): "
         f"{per_ms:.1f} ms/frame ({1e3/per_ms:.2f} fps; reference bike "
         f"7,715 ms -> {BASELINE_BIKE_MS/per_ms:.0f}x)")

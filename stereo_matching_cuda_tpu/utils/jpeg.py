@@ -1,13 +1,15 @@
-"""Baseline JPEG decoder (pure Python + NumPy, no dependencies).
+"""JPEG decoder (pure Python + NumPy, no dependencies).
 
 Completes the vendored-stb read surface (SURVEY.md §2.2 #12:
 stb_image.h decodes JPEG alongside PNG/BMP/TGA/PNM — the reference
 enables it via SystemIncludes.h:3-5 even though main.cu only ever
-loads PNGs).  Scope mirrors stb's common path: baseline sequential
-DCT (SOF0/SOF1), 8-bit samples, grayscale or YCbCr with any h/v
-sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart
-markers.  Progressive (SOF2) and arithmetic coding raise
-NotImplementedError.
+loads PNGs).  Scope mirrors stb's: baseline sequential DCT
+(SOF0/SOF1) AND progressive DCT (SOF2, spectral selection +
+successive approximation per ITU T.81 §G — DC first/refine,
+AC first/refine with EOB runs), 8-bit samples, grayscale or YCbCr
+with any h/v sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0, 4:1:1),
+restart markers.  Arithmetic coding and hierarchical/lossless SOFs
+raise NotImplementedError (stb rejects those too).
 
 Decoding choices match libjpeg's defaults closely but not bitwise
 (the JPEG spec does not mandate an exact IDCT): float orthonormal
@@ -122,8 +124,8 @@ def _upsample_triangle(c: np.ndarray, fh: int, fv: int,
 
 
 def read_jpeg(path: str) -> np.ndarray:
-    """Decode a baseline JPEG → uint8 (H, W) grayscale or (H, W, 3)
-    RGB (JFIF YCbCr conversion)."""
+    """Decode a baseline or progressive JPEG → uint8 (H, W) grayscale
+    or (H, W, 3) RGB (JFIF YCbCr conversion)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:2] != b"\xff\xd8":
@@ -133,6 +135,8 @@ def read_jpeg(path: str) -> np.ndarray:
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    progressive = False
+    coefs = None      # progressive: per-component zigzag coefficients
     restart = 0
     pos = 2
     while pos < len(data):
@@ -160,7 +164,7 @@ def read_jpeg(path: str) -> np.ndarray:
                 q = np.zeros(64, np.int32)
                 q[_ZIGZAG] = vals
                 qt[tq] = q.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{path}: {prec}-bit JPEG")
@@ -169,8 +173,7 @@ def read_jpeg(path: str) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(f"{path}: progressive JPEG")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -195,24 +198,30 @@ def read_jpeg(path: str) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 15))
             ecs_start = pos + seg_len
-            return _decode_scan(path, data, ecs_start, frame, scan,
-                                qt, huff_dc, huff_ac, restart)
+            if not progressive:
+                return _decode_scan(path, data, ecs_start, frame, scan,
+                                    qt, huff_dc, huff_ac, restart)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                mcu_geom, geom = _prog_geom(frame)
+                coefs = {cid: np.zeros((g[5], g[6], 64), np.int32)
+                         for cid, g in geom.items()}
+            pos = _decode_prog_scan(
+                path, data, ecs_start, mcu_geom, geom, coefs, scan,
+                ss, se, ahal >> 4, ahal & 15, huff_dc, huff_ac, restart)
+            continue
         pos += seg_len
+    if progressive and coefs is not None:
+        return _reconstruct_prog(path, frame, geom, coefs, qt)
     raise ValueError(f"{path}: JPEG has no scan data")
 
 
-def _decode_scan(path, data, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart):
-    H, W, comps = frame
-    if H == 0 or W == 0:
-        raise ValueError(f"{path}: bad JPEG dimensions {W}x{H}")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (W + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
-    n_mcu = mcux * mcuy
-
-    # split the entropy stream into restart segments, stripping 0xFF00
+def _entropy_segments(data, pos):
+    """Split an entropy-coded stream starting at ``pos`` into restart
+    segments (0xFF00 stuffing stripped, RSTn markers as boundaries).
+    Returns (segments, end) where ``end`` points at the 0xFF of the
+    first non-RST marker after the stream (or len(data))."""
     segments = []
     seg = bytearray()
     i = pos
@@ -233,6 +242,21 @@ def _decode_scan(path, data, pos, frame, scan, qt, huff_dc, huff_ac,
         seg.append(b)
         i += 1
     segments.append(bytes(seg))
+    return segments, i
+
+
+def _decode_scan(path, data, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart):
+    H, W, comps = frame
+    if H == 0 or W == 0:
+        raise ValueError(f"{path}: bad JPEG dimensions {W}x{H}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+
+    segments, _ = _entropy_segments(data, pos)
 
     by_id = {c[0]: c for c in comps}
     scan_comps = []
@@ -291,6 +315,226 @@ def _decode_scan(path, data, pos, frame, scan, qt, huff_dc, huff_ac,
     out = []
     for cs, fh, fv, _, _, _ in scan_comps:
         p = np.clip(np.round(planes[cs]), 0, 255)
+        out.append(_upsample_triangle(p, hmax // fh, vmax // fv, H, W))
+    if len(out) == 1:
+        return out[0].astype(np.uint8)
+    if len(out) != 3:
+        raise NotImplementedError(
+            f"{path}: {len(out)}-component JPEG unsupported")
+    y, cb, cr = (o.astype(np.float64) for o in out)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def _prog_geom(frame):
+    """((hmax, vmax, mcux, mcuy), {cid: (fh, fv, tq, bwc, bhc, pbh,
+    pbw)}): bwc/bhc are the component's REAL block counts (ceil of its
+    sample dims / 8 — non-interleaved scans walk exactly these, T.81
+    §A.2.2), pbh/pbw the MCU-padded block-grid dims interleaved DC
+    scans cover."""
+    H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    geom = {}
+    for cid, fh, fv, tq in comps:
+        wc = (W * fh + hmax - 1) // hmax
+        hc = (H * fv + vmax - 1) // vmax
+        geom[cid] = ((fh, fv, tq, (wc + 7) // 8, (hc + 7) // 8,
+                      mcuy * fv, mcux * fh))
+    return (hmax, vmax, mcux, mcuy), geom
+
+
+def _refine_nonzero(bits, zz, k, p1):
+    """Read the correction bit for the nonzero-history coefficient
+    zz[k] (T.81 §G.1.2.3; two's-complement & works for both signs)."""
+    if bits.get(1) and (int(zz[k]) & p1) == 0:
+        zz[k] += p1 if zz[k] > 0 else -p1
+
+
+def _ac_first_block(bits, hac, zz, ss, se, al, eobrun):
+    """AC spectral-selection first pass (Ah == 0) for one block."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(hac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.get(r)
+                break
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        zz[k] = _extend(bits.get(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(bits, hac, zz, ss, se, al, eobrun):
+    """AC successive-approximation refinement (Ah == Al + 1) for one
+    block — the T.81 §G.1.2.3 / libjpeg decode_mcu_AC_refine logic:
+    new coefficients arrive as ±(1<<Al); every nonzero-history
+    coefficient passed on the way carries one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.huff(hac)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.get(r)
+                    break
+                val = 0          # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "bad JPEG AC refinement magnitude")
+                val = p1 if bits.get(1) else -p1
+            while k <= se:
+                if zz[k]:
+                    _refine_nonzero(bits, zz, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k]:
+                _refine_nonzero(bits, zz, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(path, data, pos, mcu_geom, geom, coefs, scan,
+                      ss, se, ah, al, huff_dc, huff_ac, restart):
+    """Decode ONE progressive scan into the persistent coefficient
+    store; returns the stream position after its entropy data.
+
+    Scan kinds (T.81 §G.1): DC first (Ss=0, Ah=0; interleaved over the
+    MCU grid when ns > 1), DC refine (Ss=0, Ah>0; one raw bit per
+    block, no Huffman table), AC first / AC refine (Ss>0; exactly one
+    component, walking its real block grid in raster order).  Restart
+    markers reset the DC predictors and the EOB run."""
+    hmax, vmax, mcux, mcuy = mcu_geom
+    segments, end = _entropy_segments(data, pos)
+
+    if ss == 0:   # DC scan
+        units = []   # (cid, zz-plane, by, bx) walk order
+        if len(scan) > 1:
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for cs, td, _ in scan:
+                    fh, fv = geom[cs][0], geom[cs][1]
+                    for by in range(fv):
+                        for bx in range(fh):
+                            units.append((cs, my * fv + by, mx * fh + bx))
+            per_interval = None  # restart counts MCUs
+            mcu_units = sum(geom[cs][0] * geom[cs][1] for cs, *_ in scan)
+        else:
+            cs = scan[0][0]
+            _, _, _, bwc, bhc, _, _ = geom[cs]
+            units = [(cs, by, bx) for by in range(bhc) for bx in range(bwc)]
+            mcu_units = 1
+        if ah == 0:
+            for cs, td, _ in scan:
+                if td not in huff_dc:
+                    raise ValueError(f"{path}: missing JPEG DC table {td}")
+        hdc = {cs: huff_dc.get(td) for cs, td, _ in scan}
+        interval = (restart if restart else len(units)) * (
+            mcu_units if len(scan) > 1 else 1)
+        u = 0
+        for seg_bytes in segments:
+            if u >= len(units):
+                break
+            bits = _Bits(seg_bytes)
+            preds = {cs: 0 for cs, *_ in scan}
+            for _ in range(min(interval, len(units) - u)):
+                cs, by, bx = units[u]
+                zz = coefs[cs][by, bx]
+                if ah == 0:
+                    s = bits.huff(hdc[cs])
+                    preds[cs] += _extend(bits.get(s), s)
+                    zz[0] = preds[cs] << al
+                else:
+                    if bits.get(1):
+                        zz[0] = int(zz[0]) | (1 << al)
+                u += 1
+        if u < len(units):
+            raise ValueError(f"{path}: progressive DC scan truncated "
+                             f"at {u}/{len(units)}")
+        return end
+
+    # AC scan: exactly one component (T.81 §G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError(f"{path}: progressive AC scan with "
+                         f"{len(scan)} components")
+    cs, _, ta = scan[0]
+    if ta not in huff_ac:
+        raise ValueError(f"{path}: missing JPEG AC table {ta}")
+    hac = huff_ac[ta]
+    _, _, _, bwc, bhc, _, _ = geom[cs]
+    n_blocks = bwc * bhc
+    interval = restart if restart else n_blocks
+    plane = coefs[cs]
+    u = 0
+    for seg_bytes in segments:
+        if u >= n_blocks:
+            break
+        bits = _Bits(seg_bytes)
+        eobrun = 0
+        for _ in range(min(interval, n_blocks - u)):
+            by, bx = divmod(u, bwc)
+            zz = plane[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(bits, hac, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(bits, hac, zz, ss, se, al, eobrun)
+            u += 1
+    if u < n_blocks:
+        raise ValueError(f"{path}: progressive AC scan truncated "
+                         f"at {u}/{n_blocks}")
+    return end
+
+
+def _reconstruct_prog(path, frame, geom, coefs, qt):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    finish exactly like the baseline path (clip, fancy upsample, JFIF
+    color convert)."""
+    H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out = []
+    for cid, fh, fv, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"{path}: missing JPEG quant table {tq}")
+        zz = coefs[cid]                      # (pbh, pbw, 64) zigzag
+        nat = np.zeros_like(zz)
+        nat[..., _ZIGZAG] = zz               # → natural order
+        blocks = nat.reshape(*zz.shape[:2], 8, 8) * qt[tq]
+        spatial = np.einsum("kn,yxkl,lm->yxnm", _B, blocks, _B) + 128.0
+        pbh, pbw = zz.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(pbh * 8, pbw * 8)
+        p = np.clip(np.round(plane), 0, 255)
         out.append(_upsample_triangle(p, hmax // fh, vmax // fv, H, W))
     if len(out) == 1:
         return out[0].astype(np.uint8)

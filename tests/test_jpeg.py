@@ -74,12 +74,54 @@ def test_jpeg_via_read_image(tmp_path):
     np.testing.assert_array_equal(read_image(p), read_jpeg(p))
 
 
-def test_jpeg_progressive_rejected(tmp_path):
-    img = _scene(32, 48, seed=5)
-    p = str(tmp_path / "p.jpg")
-    PIL.fromarray(img).save(p, "JPEG", progressive=True)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        read_jpeg(p)
+@pytest.mark.parametrize("kw", [
+    dict(quality=90, subsampling=2),                   # 4:2:0
+    dict(quality=95, subsampling=0),                   # 4:4:4
+])
+def test_jpeg_progressive_matches_pil(tmp_path, kw):
+    """Progressive (SOF2) color decode vs PIL: PIL's default
+    progression script uses successive approximation, so this
+    exercises DC first/refine and AC first/refine incl. EOB runs."""
+    img = _scene()
+    got, want = _roundtrip(tmp_path, img, progressive=True, **kw)
+    assert got.shape == want.shape and got.dtype == np.uint8
+    d = np.abs(got.astype(np.int32) - want)
+    assert d.max() <= 3, d.max()
+    assert (d > 1).mean() <= 0.15
+    assert d.mean() <= 0.6
+
+
+def test_jpeg_progressive_grayscale(tmp_path):
+    gray = _scene()[..., 0]
+    got, want = _roundtrip(tmp_path, gray, quality=90, progressive=True)
+    assert got.ndim == 2
+    d = np.abs(got.astype(np.int32) - want)
+    assert d.max() <= 1
+
+
+def test_jpeg_progressive_odd_sizes(tmp_path):
+    """Non-MCU-multiple dims: non-interleaved AC scans walk the
+    component's REAL block grid (smaller than the MCU-padded one)."""
+    img = _scene(41, 59, seed=3)
+    got, want = _roundtrip(tmp_path, img, quality=85, subsampling=2,
+                           progressive=True)
+    assert got.shape == (41, 59, 3)
+    assert np.abs(got.astype(np.int32) - want).max() <= 3
+
+
+def test_jpeg_progressive_identical_to_baseline_content(tmp_path):
+    """The same pixels encoded baseline and progressive with the same
+    quality/subsampling must decode to (near-)identical images — the
+    two entropy layouts carry the same coefficients."""
+    img = _scene(48, 64, seed=9)
+    pb = str(tmp_path / "b.jpg")
+    pp = str(tmp_path / "p.jpg")
+    PIL.fromarray(img).save(pb, "JPEG", quality=90, subsampling=0)
+    PIL.fromarray(img).save(pp, "JPEG", quality=90, subsampling=0,
+                            progressive=True)
+    db = read_jpeg(pb).astype(np.int32)
+    dp = read_jpeg(pp).astype(np.int32)
+    assert np.abs(db - dp).max() <= 1
 
 
 def test_jpeg_truncated_rejected(tmp_path):
