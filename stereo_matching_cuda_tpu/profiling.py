@@ -185,6 +185,12 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> 
     cfg = effective_config(cfg, left.shape[0], left.shape[1])
     if use_staged_path(cfg, left.shape[0], left.shape[1]):
         return _staged_stage_table(left, right, cfg, n)
+    if n == 9 and left.shape[0] * left.shape[1] < 500_000:
+        # sub-ms frames need a wide differencing window: the tunnel's
+        # ±4 ms dispatch jitter leaves ±0.5 ms/frame at n=9, swamping
+        # 0.4 ms stages (BENCH.md measurement-noise caveat); the r4
+        # default's prefix chains compile in seconds so this is cheap
+        n = 49
     fused = use_fused_path(cfg)
     if fused and use_dual_view(cfg):
         fused = "dual"
@@ -197,8 +203,8 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> 
         f1 = _chained(_prefix_fn(cfg, stage, fused), 1)
         fn_ = _chained(_prefix_fn(cfg, stage, fused), n)
         float(f1(l, r)); float(fn_(l, r))  # compile both
-        t1 = min(_t(f1, l, r), _t(f1, l, r))
-        tn = min(_t(fn_, l, r), _t(fn_, l, r))
+        t1 = min(_t(f1, l, r) for _ in range(3))
+        tn = min(_t(fn_, l, r) for _ in range(3))
         cum.append((name, (tn - t1) / (n - 1)))
     rows = []
     prev = 0.0
