@@ -319,6 +319,11 @@ def compute_disparity(
         out = stereo_pipeline(
             jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)
     if keys is not None:
+        missing = [k for k in keys if k not in out]
+        if missing:
+            raise ValueError(
+                f"unknown output keys {missing}; available: {sorted(out)} "
+                f"(full_outputs={full_outputs})")
         out = {k: out[k] for k in keys}
     return {k: np.asarray(v) for k, v in out.items()}
 

@@ -167,7 +167,8 @@ def _staged_stage_table(left, right, cfg: StereoConfig, n: int) -> list[dict]:
     return out
 
 
-def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> list[dict]:
+def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG,
+                n: int | None = None) -> list[dict]:
     """Returns [{stage, ms}] with per-frame device ms attributed to each
     stage (cumulative-prefix differences, chained n-deep).  Times the
     same path the pipeline runs: the fused Pallas kernel on TPU
@@ -184,13 +185,14 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG, n: int = 9) -> 
     # streaming kernel; idempotent for already-resolved configs)
     cfg = effective_config(cfg, left.shape[0], left.shape[1])
     if use_staged_path(cfg, left.shape[0], left.shape[1]):
-        return _staged_stage_table(left, right, cfg, n)
-    if n == 9 and left.shape[0] * left.shape[1] < 500_000:
+        return _staged_stage_table(left, right, cfg, n if n is not None else 9)
+    if n is None:
         # sub-ms frames need a wide differencing window: the tunnel's
         # ±4 ms dispatch jitter leaves ±0.5 ms/frame at n=9, swamping
         # 0.4 ms stages (BENCH.md measurement-noise caveat); the r4
-        # default's prefix chains compile in seconds so this is cheap
-        n = 49
+        # default's prefix chains compile in seconds so this is cheap.
+        # An explicitly passed n is always honored.
+        n = 49 if left.shape[0] * left.shape[1] < 500_000 else 9
     fused = use_fused_path(cfg)
     if fused and use_dual_view(cfg):
         fused = "dual"

@@ -142,6 +142,9 @@ def read_jpeg(path: str) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"{path}: bad JPEG marker sync at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -448,7 +451,7 @@ def _decode_prog_scan(path, data, pos, mcu_geom, geom, coefs, scan,
                     for by in range(fv):
                         for bx in range(fh):
                             units.append((cs, my * fv + by, mx * fh + bx))
-            per_interval = None  # restart counts MCUs
+            # restart intervals count MCUs in the interleaved case
             mcu_units = sum(geom[cs][0] * geom[cs][1] for cs, *_ in scan)
         else:
             cs = scan[0][0]
