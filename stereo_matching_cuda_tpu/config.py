@@ -140,6 +140,15 @@ class StereoConfig:
     # ignores the knob (the decider was negative before it was worth
     # porting there).
     dma_buffer: Optional[bool] = None
+    # Fused Pallas post-stage (ops/pallas_post.py): LR consistency
+    # check + occlusion fill in ONE Mosaic kernel — the select tree
+    # over size_d shifted right-map copies and the two packed-cummax
+    # fill scans stay VMEM-resident instead of round-tripping HBM
+    # between XLA ops.  BIT-IDENTICAL to the XLA post stage (integer
+    # selects/compares only — no reassociation anywhere; tested).
+    # None = auto (whenever the fused matching path runs); True/False
+    # force.
+    post_fused: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -188,6 +197,10 @@ class StereoConfig:
             raise ValueError(
                 f"dma_buffer must be None, True or False, "
                 f"got {self.dma_buffer!r}")
+        if self.post_fused not in (None, True, False):
+            raise ValueError(
+                f"post_fused must be None, True or False, "
+                f"got {self.post_fused!r}")
         if self.fused is True and self.exact_integral:
             raise ValueError(
                 "fused=True and exact_integral=True are mutually exclusive: "

@@ -32,6 +32,25 @@ def use_fused_path(cfg: StereoConfig, full_outputs: bool = False) -> bool:
     )
 
 
+def use_fused_post(cfg: StereoConfig, full_outputs: bool = False) -> bool:
+    """Whether the post stage (LR check + occlusion fill) runs the
+    fused Pallas kernel (ops/pallas_post.py).  Auto follows the fused
+    matching path; bit-identical to the XLA post stage either way."""
+    if cfg.post_fused is not None:
+        return cfg.post_fused
+    return use_fused_path(cfg, full_outputs)
+
+
+def _post(dmap_l, dmap_r, cfg: StereoConfig, full_outputs: bool = False):
+    """(occlusion map, filled map) — fused kernel or XLA ops."""
+    if use_fused_post(cfg, full_outputs):
+        from .ops.pallas_post import lr_fill_fused
+
+        return lr_fill_fused(dmap_l, dmap_r, cfg)
+    occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
+    return occ, ops.fill_occlusion(occ, cfg.v_min, cfg)
+
+
 def use_dual_view(cfg: StereoConfig) -> bool:
     """Whether the fused path runs the dual-view kernel (both views in
     one Mosaic pass) vs two per-view kernel calls.  Single source of
@@ -84,8 +103,7 @@ def stereo_pipeline(
     gr = ops.rgb_to_grayscale(rgb_right, cfg)
     best_l, dmap_l, best_r, dmap_r, mean_l, mean_r, c0_l, c0_r = _match(
         gl, gr, cfg, full_outputs)
-    occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
-    filled = ops.fill_occlusion(occ, cfg.v_min, cfg)
+    occ, filled = _post(dmap_l, dmap_r, cfg, full_outputs)
     out = {
         "disparity_left": dmap_l,
         "disparity_right": dmap_r,
@@ -258,8 +276,7 @@ def _matching_stage(gl, gr, cfg: StereoConfig, full_outputs: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _post_stage(dmap_l, dmap_r, cfg: StereoConfig):
-    occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
-    return occ, ops.fill_occlusion(occ, cfg.v_min, cfg)
+    return _post(dmap_l, dmap_r, cfg)
 
 
 def stereo_pipeline_staged(

@@ -63,6 +63,14 @@ def _prefix_fn(cfg: StereoConfig, stage: int, fused: bool):
             _, dmap_r, _ = ops.guided_filter_wta(gr, cost_r, cfg.d_min_right, cfg)
             if stage == 2:
                 return dmap_l.sum() + dmap_r.sum()
+        from .pipeline import use_fused_post
+
+        if use_fused_post(cfg):
+            from .ops.pallas_post import lr_fill_fused
+
+            # one kernel computes both maps — a single post stage
+            _, filled = lr_fill_fused(dmap_l, dmap_r, cfg)
+            return filled.sum()
         occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
         if stage == 3:
             return occ.sum()
@@ -149,18 +157,32 @@ def _staged_stage_table(left, right, cfg: StereoConfig, n: int) -> list[dict]:
         tN = min(_t(fN, x, y), _t(fN, x, y))
         return max(0.0, (tN - t1) / (n - 1))
 
+    from .pipeline import use_fused_post
+
+    if use_fused_post(cfg):
+        from .ops.pallas_post import lr_fill_fused
+
+        post_rows = [
+            ("fused LR+fill (pallas_post)",
+             chain(lambda a, b: lr_fill_fused(a, b, cfg)[1],
+                   dmap_l, dmap_r)),
+        ]
+    else:
+        post_rows = [
+            ("detect_occlusion",
+             chain(lambda a, b: ops.detect_occlusion(
+                 a, b, cfg.d_occlusion, cfg), dmap_l, dmap_r)),
+            ("fill_occlusion",
+             chain(lambda a, b: ops.fill_occlusion(a, cfg.v_min, cfg),
+                   occ, occ)),
+        ]
     rows = [
         ("rgb_to_grayscale x2",
          2 * chain(lambda a, b: ops.rgb_to_grayscale(a, cfg).astype(
              jnp.float32), l, r)),
         (match_name,
          chain(lambda a, b: _match(a, b, cfg, False)[1], gl, gr)),
-        ("detect_occlusion",
-         chain(lambda a, b: ops.detect_occlusion(a, b, cfg.d_occlusion, cfg),
-               dmap_l, dmap_r)),
-        ("fill_occlusion",
-         chain(lambda a, b: ops.fill_occlusion(a, cfg.v_min, cfg), occ, occ)),
-    ]
+    ] + post_rows
     out = [{"stage": name, "ms": round(t * 1e3, 3)} for name, t in rows]
     out.append({"stage": "TOTAL (sum of stages)",
                 "ms": round(sum(t for _, t in rows) * 1e3, 3)})
@@ -198,6 +220,13 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG,
         fused = "dual"
     stages = ({"dual": STAGES_DUAL, True: STAGES_FUSED}.get(fused)
               or STAGES_UNFUSED)
+    from .pipeline import use_fused_post
+
+    if use_fused_post(cfg):
+        # one kernel computes occ+fill: a single post stage replaces
+        # the detect/fill pair (their prefix difference would be 0)
+        stages = [s for s in stages if s[1] < 3] + [
+            ("fused LR+fill (pallas_post)", 4)]
     l = jnp.asarray(left)
     r = jnp.asarray(right)
     cum = []
