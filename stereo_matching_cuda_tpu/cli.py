@@ -127,6 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "startup (e.g. 288x384) so the first request does "
                         "not pay the jit/Mosaic compile — pairs with --fast "
                         "(140 s compile, BENCH.md r4)")
+    p.add_argument("--serve-batch", type=int, default=8, metavar="N",
+                   help="max micro-batch for --serve: concurrent same-shape "
+                        "requests coalesce into one batched device pass "
+                        "(padded to power-of-two sizes to bound the compile "
+                        "set).  1 disables batching (default 8)")
     p.add_argument("--serve-ranges", default=None, metavar="MIN:MAX[,...]",
                    help="allowlist of per-request d_min:d_max overrides for "
                         "--serve (e.g. '-15:0,-63:0'); others get 403 "
@@ -304,7 +309,12 @@ def main(argv=None) -> int:
                 print(f"error: bad --serve-warmup {args.serve_warmup!r} "
                       "(want HxW, e.g. 288x384)", file=sys.stderr)
                 return 2
-        serve_forever(args.serve_host, args.serve, cfg, ranges, warmup_hw)
+        if args.serve_batch < 1:
+            print(f"error: --serve-batch must be >= 1, got "
+                  f"{args.serve_batch}", file=sys.stderr)
+            return 2
+        serve_forever(args.serve_host, args.serve, cfg, ranges, warmup_hw,
+                      max_batch=args.serve_batch)
         return 0
     if args.left is None:
         print("error: left image is required (or use --eval/--serve)",

@@ -91,16 +91,141 @@ def _encode_file(write_fn, arr) -> str:
         os.unlink(path)
 
 
+class _Request:
+    """One queued /disparity request awaiting device time."""
+
+    __slots__ = ("left", "right", "cfg", "event", "result", "error",
+                 "batched_n")
+
+    def __init__(self, left, right, cfg):
+        self.left = left
+        self.right = right
+        self.cfg = cfg
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.batched_n = 1
+
+
+class BatchExecutor:
+    """Micro-batching device executor (VERDICT r4 #3).
+
+    One worker thread owns the device; handler threads submit requests
+    and block on a per-request event.  All queued requests with the
+    SAME frame shape and config coalesce into one
+    ``stereo_pipeline_batch`` call — N concurrent clients then share
+    one device pass instead of serializing N single-frame passes
+    behind a lock.  Requests with differing shapes/configs, and frames
+    big enough for the staged path (whose batch graph would trip the
+    big-frame XLA compile pathology — BENCH.md), run singly as before.
+
+    Batches are padded up to power-of-two sizes (2/4/8, repeating the
+    last frame) so a long-lived server compiles at most
+    log2(max_batch) batch executables per (shape, config) instead of
+    one per observed batch size — compiles are minutes-class on the
+    axon remote-compile backend.
+
+    ``window_s`` optionally sleeps after the first dequeue so near-
+    simultaneous requests can coalesce; the default 0 adds no latency
+    (whatever is already queued when the device frees up batches).
+    """
+
+    _KEYS = ("occlusion_filled", "occlusion")
+
+    def __init__(self, max_batch: int = 8, window_s: float = 0.0):
+        self.max_batch = max(1, int(max_batch))
+        self.window_s = window_s
+        self._q: list[_Request] = []
+        self._cv = threading.Condition()
+        self._thread = None
+
+    def submit(self, left, right, cfg) -> _Request:
+        """Blocks until the request is served; returns it with
+        ``result`` (dict of numpy outputs) or ``error`` set."""
+        req = _Request(left, right, cfg)
+        with self._cv:
+            if self._thread is None:
+                self._thread = threading.Thread(
+                    target=self._worker, daemon=True,
+                    name="stereo-batch-executor")
+                self._thread.start()
+            self._q.append(req)
+            self._cv.notify()
+        req.event.wait()
+        return req
+
+    # ---- worker side -------------------------------------------------
+    def _worker(self):
+        while True:
+            with self._cv:
+                while not self._q:
+                    self._cv.wait()
+            if self.window_s:
+                time.sleep(self.window_s)
+            with self._cv:
+                items, self._q = self._q, []
+            # group by (shape, cfg) in first-arrival order
+            groups: dict = {}
+            for it in items:
+                groups.setdefault((it.left.shape, it.cfg), []).append(it)
+            for (_, cfg), reqs in groups.items():
+                for i in range(0, len(reqs), self.max_batch):
+                    self._run_group(reqs[i:i + self.max_batch], cfg)
+
+    @staticmethod
+    def _pow2_pad(n: int) -> int:
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+
+    def _run_group(self, reqs: list, cfg: StereoConfig):
+        from .pipeline import (compute_disparity, stereo_pipeline_batch,
+                               use_staged_path)
+
+        h, w = reqs[0].left.shape[:2]
+        try:
+            if len(reqs) == 1 or self.max_batch == 1 or use_staged_path(
+                    cfg, h, w):
+                for r in reqs:
+                    r.result = compute_disparity(
+                        r.left, r.right, cfg, keys=self._KEYS)
+                    r.batched_n = 1
+                    r.event.set()
+                return
+            bp = self._pow2_pad(len(reqs))
+            lefts = np.stack([r.left for r in reqs]
+                             + [reqs[-1].left] * (bp - len(reqs)))
+            rights = np.stack([r.right for r in reqs]
+                              + [reqs[-1].right] * (bp - len(reqs)))
+            import jax.numpy as jnp
+
+            out = stereo_pipeline_batch(
+                jnp.asarray(lefts), jnp.asarray(rights), cfg)
+            fetched = {k: np.asarray(out[k]) for k in self._KEYS}
+            for i, r in enumerate(reqs):
+                r.result = {k: fetched[k][i] for k in self._KEYS}
+                r.batched_n = len(reqs)
+                r.event.set()
+        except Exception as e:   # surface to every waiting handler
+            for r in reqs:
+                if not r.event.is_set():
+                    r.error = e
+                    r.event.set()
+
+
 class StereoServer(ThreadingHTTPServer):
-    """HTTP server holding the config, a jit-serialization lock and
-    serving stats.  Port 0 picks an ephemeral port (tests)."""
+    """HTTP server holding the config, the micro-batching device
+    executor and serving stats.  Port 0 picks an ephemeral port
+    (tests)."""
 
     daemon_threads = True
 
-    def __init__(self, addr, cfg: StereoConfig, allowed_d_ranges=None):
+    def __init__(self, addr, cfg: StereoConfig, allowed_d_ranges=None,
+                 max_batch: int = 8, batch_window_s: float = 0.0):
         super().__init__(addr, _Handler)
         self.cfg = cfg
-        self.lock = threading.Lock()   # serialize device work
+        self.executor = BatchExecutor(max_batch, batch_window_s)
         self.stats_lock = threading.Lock()
         self.frames_served = 0
         self.t_start = time.time()
@@ -180,15 +305,14 @@ class _Handler(BaseHTTPRequestHandler):
                     f"{right.shape}")
             if left.dtype != np.uint8:
                 raise ValueError(f"images must be 8-bit, got {left.dtype}")
-            from .pipeline import compute_disparity
-
             t0 = time.time()
-            with self.server.lock:
-                # fetch only the two outputs the response uses — each
-                # fetched array is its own device→host round-trip
-                out = compute_disparity(
-                    left, right, cfg,
-                    keys=("occlusion_filled", "occlusion"))
+            # the executor serializes device work and coalesces
+            # concurrent same-shape requests into one batched pass;
+            # it fetches only the outputs the response uses
+            req_item = self.server.executor.submit(left, right, cfg)
+            if req_item.error is not None:
+                raise req_item.error
+            out = req_item.result
             dt = time.time() - t0
         except (ValueError, NotImplementedError) as e:
             return self._reply(400, {"error": str(e)})
@@ -210,13 +334,16 @@ class _Handler(BaseHTTPRequestHandler):
             "height": int(filled.shape[0]),
             "width": int(filled.shape[1]),
             "seconds": round(dt, 4),
+            "batched_n": req_item.batched_n,
             **occlusion_stats(out["occlusion"], cfg.v_min),
         })
 
 
 def make_server(host: str, port: int, cfg: StereoConfig,
-                allowed_d_ranges=None) -> StereoServer:
-    return StereoServer((host, port), cfg, allowed_d_ranges)
+                allowed_d_ranges=None, max_batch: int = 8,
+                batch_window_s: float = 0.0) -> StereoServer:
+    return StereoServer((host, port), cfg, allowed_d_ranges,
+                        max_batch, batch_window_s)
 
 
 def warmup(cfg: StereoConfig, h: int, w: int) -> float:
@@ -235,8 +362,9 @@ def warmup(cfg: StereoConfig, h: int, w: int) -> float:
 
 
 def serve_forever(host: str, port: int, cfg: StereoConfig,
-                  allowed_d_ranges=None, warmup_hw=None) -> None:
-    srv = make_server(host, port, cfg, allowed_d_ranges)
+                  allowed_d_ranges=None, warmup_hw=None,
+                  max_batch: int = 8) -> None:
+    srv = make_server(host, port, cfg, allowed_d_ranges, max_batch)
     import jax
 
     if warmup_hw is not None:

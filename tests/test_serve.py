@@ -206,3 +206,63 @@ def test_warmup_compiles_and_counts_nothing():
         ["--serve", "0", "--serve-warmup", "288x384"])
     assert args.serve_warmup == "288x384"
     assert cli.main(["--serve", "0", "--serve-warmup", "nonsense"]) == 2
+
+
+def test_concurrent_requests_microbatch():
+    """N concurrent same-shape clients coalesce into batched device
+    passes (VERDICT r4 #3): all succeed, at least one response reports
+    batched_n >= 2, and every served map equals the single-frame
+    pipeline output exactly."""
+    from stereo_matching_cuda_tpu.pipeline import compute_disparity
+    from stereo_matching_cuda_tpu.utils.pnm import read_pfm
+    import os
+    import tempfile
+
+    cfg = StereoConfig(d_min=-7, d_max=0)
+    # generous coalesce window: CPU compile/runtime jitter otherwise
+    # makes the queue state timing-dependent
+    srv = make_server("127.0.0.1", 0, cfg, batch_window_s=0.5)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        pairs = []
+        rng = np.random.default_rng(21)
+        for i in range(6):
+            base = rng.integers(0, 256, (40, 80, 3), dtype=np.uint8)
+            pairs.append((base[:, 8:], base[:, :-8]))
+        # warm the single-frame executable so the concurrent burst is
+        # not serialized behind one long first compile
+        _post(srv, {"left": _b64_png(pairs[0][0]),
+                    "right": _b64_png(pairs[0][1])})
+
+        results = [None] * len(pairs)
+
+        def client(i):
+            left, right = pairs[i]
+            results[i] = _post(
+                srv, {"left": _b64_png(left), "right": _b64_png(right)})
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(pairs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert all(r is not None for r in results)
+        assert max(r["batched_n"] for r in results) >= 2, (
+            [r["batched_n"] for r in results])
+        # batched outputs must equal the single-frame pipeline exactly
+        for (left, right), rep in zip(pairs, results):
+            fd, path = tempfile.mkstemp(suffix=".pfm")
+            os.close(fd)
+            try:
+                with open(path, "wb") as f:
+                    f.write(base64.b64decode(rep["disparity_pfm"]))
+                served = read_pfm(path)
+            finally:
+                os.unlink(path)
+            want = compute_disparity(left, right, cfg)["occlusion_filled"]
+            np.testing.assert_array_equal(served, want.astype(np.float32))
+    finally:
+        srv.shutdown()
+        srv.server_close()
