@@ -326,3 +326,116 @@ def _round4_shipped():
 
 if __name__ == "__main__" and "--r4" in sys.argv:
     _round4_shipped()
+
+
+# ---------------------------------------------------------------------------
+# Round 5: MEASURED-cost roofline (VERDICT r4 #1).
+#
+# The "1 op/elt" roll placeholder is gone.  Hardware microbenchmarks
+# (scripts/r5_microbench.py, r5_micro2.py, r5_tpu1.py — logs in
+# scripts/logs_r5/) measured, on this v5e:
+#
+#   isolated primitive costs (op-equivalents/elt at the 3.85 Top/s
+#   4-ALU peak; "sweep" = VMEM->VMEM elementwise op):
+#     add sweep 6.4-7.1        mul-add sweep 8.0
+#     lane roll marginal +5.7  sublane roll +2.7 (+0.0 if shift%8==0)
+#     k=19 window sum: 47 (lane) / 30 (sublane)
+#     full box-mean (both axes + normalize): 64.3 — identical for 1
+#     and 4 independent trees (issue-bound, no ILP headroom)
+#   per-GRID-PROGRAM sequencing: 0.014 us (negligible)
+#   per-pallas-call overhead: ~0.5 us
+#   per-CHAIN-ITERATION overhead (lax.fori_loop step, the bench's
+#   chained-frame methodology): ~22.6 us — an XLA-only elementwise
+#   chain body costs the same, so every chained per-frame number in
+#   BENCH.md includes ~22.6 us that is NOT pipeline compute.
+#
+#   REAL-KERNEL slice slope (guided_wta_fused, stream fori roll, tiles
+#   pinned; per-call time is linear in D):
+#     tiles (112,384) x3 programs:  12.03 us/slice -> 221 op-eq/ext-elt
+#     tiles (128,1024) x7 programs: 71.58 us/slice -> 225
+#     tiles (128,1536) x5 programs: 87.25 us/slice -> 230
+#   -> per-slice cost is a SHAPE-INDEPENDENT constant ~225 op-eq per
+#   ext-tile element per slice (+-2%), for D from 8 to 128.
+#   Fixed term (intercept minus chain overhead): ~16-31 us/program.
+#
+# Interpretation: the counted per-slice op sequence (single-view roll
+# path) is 158 ops/elt.  The kernel measures 221-230 — i.e. 1.4
+# op-equivalents per counted op, BETTER than the isolated-primitive
+# composition predicts (4 box-means + raw cost + WTA at isolated costs
+# = ~282), because Mosaic fuses chains in vregs.  The ~40% over the
+# pure-ALU floor is the in-context cost of the ~58 rolls/slice (~2.1
+# op-eq each) — lane-crossing shuffle throughput, not schedulable
+# waste (boxm4 == boxm1 proves issue-boundedness).
+# ---------------------------------------------------------------------------
+
+MEAS_PER_SLICE_OPEQ = 225.0       # op-equiv per ext-elt per slice (+-2%)
+MEAS_SLICE_FLOOR_OPEQ = 158.0     # counted algorithm ops (ALU floor)
+MEAS_FIXED_PER_PROG_US = 28.0     # measured range 16-31
+MEAS_CHAIN_OVERHEAD_US = 22.6     # bench chained-frame artifact
+
+
+def measured_roofline(H, W, cfg, label, measured_frame_ms,
+                      glue_ms=0.0, n_slices=None):
+    """Frame-level measured-cost model + true %-of-SoL for a shipped
+    streaming single-view config (2 views/frame)."""
+    from stereo_matching_cuda_tpu.ops.pallas_guided import (
+        _pick_tiles_stream, _stream_carry, _stream_n_live, _stream_sh_cap,
+        _vmem_params, fused_geometry)
+
+    size_d = n_slices or cfg.size_d
+    _, px = fused_geometry(cfg)
+    A = _stream_carry(cfg.radius)
+    sh, tw = _pick_tiles_stream(H, W, px, cfg.radius, size_d,
+                                _vmem_params(cfg)[0], _stream_n_live(cfg),
+                                max_sh=_stream_sh_cap(cfg))
+    w_ext = ((tw + 2 * px + 127) // 128) * 128
+    nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
+    nx = (W + tw - 1) // tw
+    n_prog = nyp * nx
+    ext_elts = n_prog * (sh + A) * w_ext
+
+    per_view_slices_ms = (ext_elts * size_d * MEAS_PER_SLICE_OPEQ
+                          / VPU_PEAK * 1e3)
+    per_view_fixed_ms = n_prog * MEAS_FIXED_PER_PROG_US / 1e3
+    pred_frame = 2 * (per_view_slices_ms + per_view_fixed_ms) + glue_ms
+    floor_frame = 2 * (ext_elts * size_d * MEAS_SLICE_FLOOR_OPEQ
+                       / VPU_PEAK * 1e3) + glue_ms
+    print(f"\n{label}: {H}x{W} D={size_d}, stream tiles ({sh},{tw}), "
+          f"{n_prog} programs/view, ext {ext_elts/1e6:.2f} M elts/view")
+    print(f"  predicted frame (measured constants): {pred_frame:7.3f} ms "
+          f"(slices 2x{per_view_slices_ms:.3f} + fixed "
+          f"2x{per_view_fixed_ms:.3f} + glue {glue_ms:.3f})")
+    print(f"  measured frame:                       "
+          f"{measured_frame_ms:7.3f} ms "
+          f"(model {pred_frame/measured_frame_ms*100:.0f}% of measured)")
+    print(f"  ALU-issue floor (rolls at 1 op):      {floor_frame:7.3f} ms "
+          f"-> TRUE {floor_frame/measured_frame_ms*100:.0f}% of "
+          f"speed-of-light")
+    return pred_frame
+
+
+def _round5_measured():
+    print("\n=== round-5 MEASURED-cost roofline (shipped configs) ===")
+    cfg = DEFAULT_CONFIG
+    csmall = dataclasses.replace(cfg, stream=True, y_sum="roll", vmem_mb=32,
+                                 unroll_max=8)
+    measured_roofline(288, 384, csmall,
+                      "Tsukuba single fori stream vmem32 (r5 default, "
+                      "fused post)", measured_frame_ms=0.406,
+                      glue_ms=0.004 + 0.030)
+    c64 = dataclasses.replace(cfg, vmem_mb=64, unroll_max=8, y_sum="roll",
+                              stream=True)
+    measured_roofline(1992, 3008, c64, "6 MP stream fori roll vmem64",
+                      measured_frame_ms=18.4, glue_ms=0.5)
+    c128 = dataclasses.replace(cfg, d_min=-127, d_max=0, vmem_mb=128,
+                               y_sum="roll", stream=True)
+    measured_roofline(1988, 2948, c128, "5.9 MP/128 d stream roll vmem128",
+                      measured_frame_ms=148.5, glue_ms=1.0)
+    print("\n(The bench's chained-frame methodology additionally counts "
+          f"~{MEAS_CHAIN_OVERHEAD_US:.0f} us/frame of lax.fori_loop step "
+          "overhead inside every measured number — the pure device "
+          "compute is that much lower, ~5% at Tsukuba scale.)")
+
+
+if __name__ == "__main__" and "--r5" in sys.argv:
+    _round5_measured()

@@ -181,7 +181,11 @@ def _staged_stage_table(left, right, cfg: StereoConfig, n: int) -> list[dict]:
          2 * chain(lambda a, b: ops.rgb_to_grayscale(a, cfg).astype(
              jnp.float32), l, r)),
         (match_name,
-         chain(lambda a, b: _match(a, b, cfg, False)[1], gl, gr)),
+         # consume BOTH views' maps: a dmap_l-only chain lets XLA
+         # dead-code-eliminate the right view's kernel call, halving
+         # the row (r5 fix)
+         chain(lambda a, b: (lambda m: m[1] + m[3])(
+             _match(a, b, cfg, False)), gl, gr)),
     ] + post_rows
     out = [{"stage": name, "ms": round(t * 1e3, 3)} for name, t in rows]
     out.append({"stage": "TOTAL (sum of stages)",

@@ -346,18 +346,32 @@ def make_server(host: str, port: int, cfg: StereoConfig,
                         max_batch, batch_window_s)
 
 
-def warmup(cfg: StereoConfig, h: int, w: int) -> float:
+def warmup(cfg: StereoConfig, h: int, w: int, max_batch: int = 1) -> float:
     """Compile the serving executable for (h, w) frames before the
     first request (seconds for the default strategy, minutes for
     explicitly-pinned unrolled-emission profiles — BENCH.md r4; on a
-    warm server it is request-free).  Returns the compile+first-frame
-    seconds."""
-    from .pipeline import compute_disparity
+    warm server it is request-free).  With ``max_batch`` > 1 also
+    compiles the micro-batch executables (power-of-two sizes up to
+    max_batch) so the first concurrent burst does not pay them.
+    Returns the total compile+first-frame seconds."""
+    from .pipeline import (compute_disparity, stereo_pipeline_batch,
+                           use_staged_path)
 
     rng = np.random.default_rng(0)
     pair = rng.integers(0, 256, size=(2, h, w, 3), dtype=np.uint8)
     t0 = time.time()
     compute_disparity(pair[0], pair[1], cfg)
+    if max_batch > 1 and not use_staged_path(cfg, h, w):
+        import jax
+        import jax.numpy as jnp
+
+        b = 2
+        while b <= max_batch:
+            lefts = jnp.asarray(np.stack([pair[0]] * b))
+            rights = jnp.asarray(np.stack([pair[1]] * b))
+            jax.block_until_ready(
+                stereo_pipeline_batch(lefts, rights, cfg)["occlusion_filled"])
+            b *= 2
     return time.time() - t0
 
 
@@ -370,8 +384,9 @@ def serve_forever(host: str, port: int, cfg: StereoConfig,
     if warmup_hw is not None:
         h, w = warmup_hw
         print(f"stereo server warming up {h}x{w} executable "
-              f"(Mosaic/jit compile)...", flush=True)
-        dt = warmup(cfg, h, w)
+              f"(Mosaic/jit compile; batch sizes up to {max_batch})...",
+              flush=True)
+        dt = warmup(cfg, h, w, max_batch)
         print(f"stereo server warmup done in {dt:.1f}s", flush=True)
     print(f"stereo server on {srv.server_address[0]}:"
           f"{srv.server_address[1]} (backend {jax.default_backend()}); "
