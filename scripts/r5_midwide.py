@@ -46,8 +46,14 @@ def main():
     s = make_scene(h, w, ndisp=64, seed=11)
     l, r = jnp.asarray(s["left"]), jnp.asarray(s["right"])
 
-    for dmin in (-63, -127):
-        for mb in (16, 32, 64):
+    plans = [(-63, (16, 32, 64)),
+             # D=128: the streaming carry buffers cannot fit 16/32 MiB
+             # (picker raises — the finding that drove the r5 gate fix);
+             # measure the two budgets that fit.  vmem128 is what the
+             # fixed auto gate ships.
+             (-127, (64, 128))]
+    for dmin, mbs in plans:
+        for mb in mbs:
             cfg = StereoConfig(d_min=dmin, d_max=0, stream=True, vmem_mb=mb)
             fs = make_looped(cfg, 5)
             fb = make_looped(cfg, 17)

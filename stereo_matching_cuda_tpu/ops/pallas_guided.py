@@ -708,6 +708,23 @@ def _stream_sh_cap(cfg: StereoConfig, n_slices: int | None = None) -> int | None
     return _STREAM_UNROLL_ROLL_SH_CAP if (unrolled and impl == "roll") else None
 
 
+def stream_fits(cfg: StereoConfig, h: int, w: int) -> bool:
+    """Whether ANY streaming tiling fits cfg's VMEM budget for an
+    (h, w) frame — the per-slice carry buffers scale with size_d, so
+    wide ranges can exceed small budgets outright (e.g. 128 slices at
+    the 16 MiB default).  effective_config uses this to keep the
+    auto stream flip from selecting an impossible kernel (a 1 MP
+    128-disparity default-config frame raised here in r5_midwide)."""
+    _, px = fused_geometry(cfg)
+    try:
+        _pick_tiles_stream(h, w, px, cfg.radius, cfg.size_d,
+                           _vmem_params(cfg)[0], _stream_n_live(cfg),
+                           max_sh=_stream_sh_cap(cfg))
+        return True
+    except ValueError:
+        return False
+
+
 def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
                        vmem_budget: int, n_live: int,
                        carry_bufs: int | None = None,

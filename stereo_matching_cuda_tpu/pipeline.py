@@ -198,6 +198,16 @@ _WIDE_STREAM_VMEM_MB: int | None = 128
 _MID_STREAM_VMEM_MB: int | None = 32
 _MID_VMEM_PIXELS = 400_000
 
+# WIDE-D mid-band (r5_midwide, 768x1280 structured frame): D=64 at
+# vmem16 runs 30.4 ms, vmem32 **15.0**, vmem64 21.6 — the r4 "wide-D
+# mid frames unmeasured" gate exclusion is closed: wide ranges up to
+# 64 slices take vmem32 like the rest of the mid band.  Above 64
+# slices the streaming carry buffers (4*size_d+2 of them) cannot even
+# FIT small budgets (a 1 MP 128-disparity default-config frame made
+# the tile picker raise), so those take the wide-stream budget (128).
+_MID_WIDE_VMEM_MB: int | None = 32
+_MID_WIDE_MAX_D = 64
+
 
 def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
     """Resolve the frame-size-dependent kernel strategy.  Only frames
@@ -225,15 +235,26 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
         # unmeasured perf) — those ranges keep the previous non-stream
         # dual default instead
         cfg = dataclasses.replace(cfg, **_SMALL_STRATEGY)
+    stream_was_auto = cfg.stream is None
     if (_STREAM_PIXELS and cfg.stream is None and h * w >= _STREAM_PIXELS
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, stream=True)
     if (_MID_STREAM_VMEM_MB and cfg.vmem_mb is None
             and _MID_VMEM_PIXELS <= h * w < _STAGED_PIXELS
             and cfg.stream is True and cfg.size_d > unroll_max(cfg)
-            and cfg.size_d <= _UNROLL_MAX   # wide-D mid frames unmeasured
+            and cfg.size_d <= _UNROLL_MAX
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, vmem_mb=_MID_STREAM_VMEM_MB)
+    if (_MID_WIDE_VMEM_MB and cfg.vmem_mb is None
+            and (_STREAM_PIXELS or 0) <= h * w < _STAGED_PIXELS
+            and cfg.stream is True and cfg.size_d > _UNROLL_MAX
+            and cfg.fused in ("auto", True) and not cfg.exact_integral):
+        # wide-D mid band (r5_midwide): vmem32 up to 64 slices
+        # (measured 2x win at 1 MP); beyond that the carry buffers
+        # need the wide-stream budget just to fit
+        mb = (_MID_WIDE_VMEM_MB if cfg.size_d <= _MID_WIDE_MAX_D
+              else (_WIDE_STREAM_VMEM_MB or 128))
+        cfg = dataclasses.replace(cfg, vmem_mb=mb)
     if (_BIG_VMEM_MB and cfg.vmem_mb is None and h * w >= _STAGED_PIXELS
             and cfg.size_d > unroll_max(cfg)   # fori branch: fast compiles
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
@@ -251,6 +272,17 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
             # (explicit low vmem_mb) band-mxu still wins (BENCH.md r2).
             over["y_sum"] = "roll"
         cfg = dataclasses.replace(cfg, **over)
+    if stream_was_auto and cfg.stream is True:
+        # safety net: an auto stream flip must never select an
+        # impossible kernel — the per-slice carry buffers scale with
+        # size_d and can exceed the budget outright (r5_midwide: 1 MP
+        # x 128 disparities raised at the 16 MiB default before the
+        # wide mid-band budget above existed).  Explicit stream=True
+        # still surfaces the picker's error.
+        from .ops.pallas_guided import stream_fits
+
+        if not stream_fits(cfg, h, w):
+            cfg = dataclasses.replace(cfg, stream=False)
     return cfg
 
 

@@ -324,3 +324,43 @@ def test_effective_config_small_frame_strategy():
     assert P.effective_config(
         dataclasses.replace(CFG, d_min=-8, d_max=0), 288, 384
     ).stream is True  # size_d=9 > 8: smallest range the rewrite covers
+
+
+def test_effective_config_mid_wide_vmem():
+    """Wide-D mid-band budgets (r5_midwide): D<=64 mid frames take
+    vmem32 (measured 2x win at 1 MP); D>64 take the wide-stream budget
+    (the streaming carry buffers cannot fit smaller ones)."""
+    import dataclasses
+
+    from stereo_matching_cuda_tpu.config import StereoConfig
+    from stereo_matching_cuda_tpu.pipeline import effective_config
+
+    e64 = effective_config(StereoConfig(d_min=-63, d_max=0), 768, 1280)
+    assert e64.stream is True and e64.vmem_mb == 32
+    e128 = effective_config(StereoConfig(d_min=-127, d_max=0), 768, 1280)
+    assert e128.stream is True and e128.vmem_mb == 128
+    # the resolved config must actually have a feasible streaming tiling
+    from stereo_matching_cuda_tpu.ops.pallas_guided import stream_fits
+
+    assert stream_fits(e128, 768, 1280)
+    # explicit user vmem choice always wins
+    pinned = effective_config(
+        StereoConfig(d_min=-63, d_max=0, vmem_mb=64), 768, 1280)
+    assert pinned.vmem_mb == 64
+
+
+def test_effective_config_stream_fallback_when_unfittable():
+    """The auto stream flip must never select an impossible kernel: a
+    range whose carry buffers exceed every budget falls back to the
+    non-stream path instead of raising (r5_midwide found a 1 MP
+    128-disparity default-config frame raising pre-gate-fix)."""
+    from stereo_matching_cuda_tpu.config import StereoConfig
+    from stereo_matching_cuda_tpu.pipeline import effective_config
+
+    e = effective_config(StereoConfig(d_min=-511, d_max=0), 600, 800)
+    assert e.stream is False
+    # explicit stream=True is honored (and will surface the picker's
+    # error at kernel-build time rather than being silently rewritten)
+    e2 = effective_config(
+        StereoConfig(d_min=-511, d_max=0, stream=True), 600, 800)
+    assert e2.stream is True
