@@ -25,7 +25,7 @@ import threading
 import time
 import urllib.request
 
-PORT = 8103
+PORT = 8147
 D = "/root/reference/stereo_matching_cuda/data"
 
 env = dict(os.environ)
