@@ -694,11 +694,22 @@ def use_stream(cfg: StereoConfig) -> bool:
 
 
 # Unrolled streaming emissions with roll y-sums crash the Mosaic
-# compiler above this strip height (measured r4_decider: dual roll
-# (168,384) reproducibly kills the compile subprocess; (112,384)
-# compiles in 272 s and runs 0.449 ms — BENCH.md r4).  mxu y-sums and
-# the fori branch are unaffected.
+# compiler above this strip height.  Bisected r5 (scripts/r5_bisect.py):
+# sh = 136/152/160 all compile OK, 168 reproducibly crashes — the edge
+# is (160, 168].  The cap stays at the r4-measured 112 anyway: the
+# unrolled emission's compile time grows superlinearly in sh (192 s at
+# 136, 240 s at 152, 398 s at 160 vs ~272 s total at 112) and the
+# r4_shsweep2 strip sweep orders sh>112 strictly worse on issued-work
+# ratio, so taller unrolled-roll strips lose on both axes.  mxu y-sums
+# and the fori branch are unaffected.
 _STREAM_UNROLL_ROLL_SH_CAP = 112
+
+# Streaming tile-width candidate cap (lane dimension).  r5 bisect:
+# 2560-wide tiles compile in 4-6 s, 3008 reproducibly crashes the
+# Mosaic compile subprocess — cap at the bisected-good edge.  Raising
+# it from r4's conservative 1536 lets ~1.6-2.6k-wide frames run a
+# single x-tile (measured win: 3 MP 9.36 -> 8.71 ms, r5_widecap).
+_STREAM_TW_CAP = 2560
 
 
 def _stream_sh_cap(cfg: StereoConfig, n_slices: int | None = None) -> int | None:
@@ -738,15 +749,18 @@ def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
     ties prefer fewer programs."""
     A = _stream_carry(r)
     best = None
-    # tile widths above 1536 crash the Mosaic compile (r4_decider:
-    # forced (64,3008) and (96,3008) fori-roll tiles reproducibly kill
-    # the compile subprocess; (128,1536) compiles in 17 s and ships as
-    # the wide-D vmem128 pick) — candidates cap at the measured-good
-    # 1536 unless the frame itself is narrower
+    # Tile-width cap: 3008-wide fori-roll tiles reproducibly crash the
+    # Mosaic compile (r4_decider (64,3008)/(96,3008); re-confirmed r5).
+    # The r5 bisect (scripts/r5_bisect.py) cleared everything below:
+    # tw = 1664/1792/2048/2560 all compile in 4-6 s — so the cap sits
+    # at the bisected-good 2560 (the crash edge is in (2560, 3008]),
+    # letting ~1.6-2.6k-wide frames take a single x-tile.
     w_cand = ((w + 127) // 128) * 128   # aligned whole-width candidate
-    tws = sorted(({w_cand} if w_cand <= 1536 else set()) | {
-        tw for tw in (1536, 1280, 1024, 896, 768, 640, 512, 384, 256)
-        if tw <= min(w, 1536)})
+    cap = _STREAM_TW_CAP
+    tws = sorted(({w_cand} if w_cand <= cap else set()) | {
+        tw for tw in (2560, 2304, 2048, 1792, 1536, 1280, 1024, 896, 768,
+                      640, 512, 384, 256)
+        if tw <= min(w, cap)})
     # strip-height candidates: a coarse fixed ladder PLUS the minimal
     # 8-aligned height for each strip count — those are exactly the
     # zero-ceil-waste points (e.g. 330 rows: 7x48, 3x112, 2x168),
@@ -765,7 +779,20 @@ def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
     for tw in tws:
         wte = ((tw + 2 * px + 127) // 128) * 128
         nx = (w + tw - 1) // tw
-        for sh in shs:
+        # Big frames with wide tiles run CHEAPER per element at short
+        # strips — measured r5_6mp_tiles at 6 MP tw=1536: sh=128 9.54,
+        # sh=176 9.71, sh=232 (the unrestricted pick) 10.0 ms/view,
+        # monotone AGAINST the ratio ordering; the wide-D (128,1536)
+        # pick sits exactly on the measured per-slice constant
+        # (BENCH.md r5) while 6 MP's sh=232 ran ~18% above it.  Cap
+        # big-frame wide-tile strips at the measured optimum.  Narrow
+        # tiles keep tall strips (Tsukuba's full-height (336,384) is
+        # the corrected-sweep optimum, r4_shsweep2).
+        if tw >= 1024 and h * w >= 2_000_000:
+            tw_shs = [s for s in shs if s <= 128] or shs[-1:]
+        else:
+            tw_shs = shs
+        for sh in tw_shs:
             est = ((n_live * (sh + A) + carry_bufs * A) * wte
                    + sh * (sh + A)) * 4
             if est > vmem_budget:

@@ -268,6 +268,11 @@ def batch_stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG,
         fused = "dual"
     stages = ({"dual": STAGES_DUAL, True: STAGES_FUSED}.get(fused)
               or STAGES_UNFUSED)
+    from .pipeline import use_fused_post
+
+    if use_fused_post(cfg):
+        stages = [s for s in stages if s[1] < 3] + [
+            ("fused LR+fill (pallas_post)", 4)]
     B = left.shape[0]
     l = jnp.asarray(left)
     r = jnp.asarray(right)
