@@ -425,12 +425,12 @@ def _round5_measured():
                       glue_ms=0.004 + 0.030)
     c64 = dataclasses.replace(cfg, vmem_mb=64, unroll_max=8, y_sum="roll",
                               stream=True)
-    measured_roofline(1992, 3008, c64, "6 MP stream fori roll vmem64",
-                      measured_frame_ms=18.4, glue_ms=0.5)
+    measured_roofline(1992, 3008, c64, "6 MP stream fori roll vmem64 (r5 picks)",
+                      measured_frame_ms=17.55, glue_ms=0.5)
     c128 = dataclasses.replace(cfg, d_min=-127, d_max=0, vmem_mb=128,
                                y_sum="roll", stream=True)
-    measured_roofline(1988, 2948, c128, "5.9 MP/128 d stream roll vmem128",
-                      measured_frame_ms=148.5, glue_ms=1.0)
+    measured_roofline(1988, 2948, c128, "5.9 MP/128 d stream roll vmem128 (r5 fused post)",
+                      measured_frame_ms=141.22, glue_ms=1.0)
     print("\n(The bench's chained-frame methodology additionally counts "
           f"~{MEAS_CHAIN_OVERHEAD_US:.0f} us/frame of lax.fori_loop step "
           "overhead inside every measured number — the pure device "
