@@ -304,7 +304,23 @@ def sharded_stereo_pipeline(
         best_l, dmap_l, mean_l = view(gle, gre, cfg.d_min)
         best_r, dmap_r, _ = view(gre, gle, cfg.d_min_right)
 
-        # --- LR consistency: needs dispR at x + dL, reach = max |d| ---
+        # --- LR consistency + fill ---------------------------------
+        if tx == 1 and _pipeline.use_fused_post(cfg):
+            # x-unsharded: every shard holds complete rows, and the
+            # fused post kernel (ops/pallas_post.py) is row-local, so
+            # the local batch simply folds into the row axis —
+            # bit-identical to the XLA path below (r5; validated on
+            # hardware, scripts/r5_shard_post.py)
+            from ..ops.pallas_post import lr_fill_fused
+
+            Bl, hlq, wlq = dmap_l.shape
+            occ2, filled2 = lr_fill_fused(
+                dmap_l.reshape(Bl * hlq, wlq),
+                dmap_r.reshape(Bl * hlq, wlq), cfg)
+            occ = occ2.reshape(Bl, hlq, wlq)
+            filled = filled2.reshape(Bl, hlq, wlq)
+            return dmap_l, dmap_r, occ, filled, best_l, mean_l
+
         # select-over-static-shifts (measured 25-6x faster than
         # take_along_axis on TPU: 0.04 vs 1.14 ms at D=16 Tsukuba,
         # 5.1 vs 31.5 ms at D=128 3MP — BENCH.md); the x-halo covers

@@ -156,3 +156,36 @@ def test_multihost_single_process_path():
     out = sharded_stereo_pipeline(gl, gr, mesh, CFG)
     a = np.asarray(out["occlusion_filled"])
     np.testing.assert_array_equal(a[0], a[1])
+
+
+def test_sharded_fused_post_x_unsharded(monkeypatch):
+    """x-unsharded meshes route the post stage through the fused
+    Pallas kernel (rows complete per shard; local batch folds into the
+    row axis) — must equal the XLA sharded post bit-for-bit (r5)."""
+    import dataclasses
+
+    import jax.experimental.pallas as pl
+
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pl, "pallas_call", interp)
+
+    left, right = _synthetic_pair(64, 192)
+    left = np.concatenate([left, left[:, :, ::-1]])   # Bl=2 per shard
+    right = np.concatenate([right, right[:, :, ::-1]])
+    mesh = make_mesh(b=2, y=2, x=1, d=2)
+    base = dataclasses.replace(CFG, post_fused=False)
+    fused = dataclasses.replace(CFG, post_fused=True)
+    out_x = sharded_stereo_pipeline(left, right, mesh, base)
+    out_f = sharded_stereo_pipeline(left, right, mesh, fused)
+    for k in ("occlusion", "occlusion_filled"):
+        np.testing.assert_array_equal(
+            np.asarray(out_f[k]), np.asarray(out_x[k]), err_msg=k)
+    # disparity maps must be untouched by the post branch
+    np.testing.assert_array_equal(np.asarray(out_f["disparity_left"]),
+                                  np.asarray(out_x["disparity_left"]))
