@@ -377,6 +377,42 @@ def compute_disparity(
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def compute_disparity_stacked(
+    rgb_left: np.ndarray,
+    rgb_right: np.ndarray,
+    cfg: StereoConfig = DEFAULT_CONFIG,
+    keys: tuple = ("occlusion_filled", "occlusion"),
+    compact: bool = False,
+) -> dict:
+    """compute_disparity(keys=...) with ONE device→host transfer: the
+    requested outputs (same shape/dtype — the disparity-map family)
+    are stacked on device and fetched together.  On a tunneled
+    deployment each blocking fetch is a ~30-40 ms round trip
+    (BENCH.md r4/r5 serving), so the serving path uses this.
+
+    ``compact`` additionally casts the stack to int16 on device and
+    back to float32 on the host — EXACT for the disparity-map family
+    (WTA labels and the d_occlusion sentinel are small integers; the
+    widest supported range is d_min=-32667's sentinel) — halving the
+    transferred bytes."""
+    if use_staged_path(cfg, rgb_left.shape[0], rgb_left.shape[1]):
+        out = stereo_pipeline_staged(
+            jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg)
+    else:
+        out = stereo_pipeline(
+            jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg)
+    missing = [k for k in keys if k not in out]
+    if missing:
+        raise ValueError(
+            f"unknown output keys {missing}; available: {sorted(out)}")
+    stacked = jnp.stack([out[k] for k in keys])
+    if compact:
+        arr = np.asarray(stacked.astype(jnp.int16)).astype(np.float32)
+    else:
+        arr = np.asarray(stacked)
+    return {k: arr[i] for i, k in enumerate(keys)}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def stereo_pipeline_batch(
     rgb_left: jax.Array,

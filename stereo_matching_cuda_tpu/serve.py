@@ -180,16 +180,19 @@ class BatchExecutor:
         return p
 
     def _run_group(self, reqs: list, cfg: StereoConfig):
-        from .pipeline import (compute_disparity, stereo_pipeline_batch,
-                               use_staged_path)
+        from .pipeline import (compute_disparity_stacked,
+                               stereo_pipeline_batch, use_staged_path)
 
         h, w = reqs[0].left.shape[:2]
         try:
             if len(reqs) == 1 or self.max_batch == 1 or use_staged_path(
                     cfg, h, w):
                 for r in reqs:
-                    r.result = compute_disparity(
-                        r.left, r.right, cfg, keys=self._KEYS)
+                    # one stacked device→host transfer per request
+                    # (each blocking fetch is a tunnel round trip)
+                    r.result = compute_disparity_stacked(
+                        r.left, r.right, cfg, keys=self._KEYS,
+                        compact=True)
                     r.batched_n = 1
                     r.event.set()
                 return
@@ -202,9 +205,14 @@ class BatchExecutor:
 
             out = stereo_pipeline_batch(
                 jnp.asarray(lefts), jnp.asarray(rights), cfg)
-            fetched = {k: np.asarray(out[k]) for k in self._KEYS}
+            # whole batch, both outputs: ONE stacked int16 fetch
+            # (exact — the maps hold small-integer labels; halves the
+            # transferred bytes, see compute_disparity_stacked)
+            arr = np.asarray(jnp.stack(
+                [out[k] for k in self._KEYS]).astype(jnp.int16)
+            ).astype(np.float32)
             for i, r in enumerate(reqs):
-                r.result = {k: fetched[k][i] for k in self._KEYS}
+                r.result = {k: arr[j][i] for j, k in enumerate(self._KEYS)}
                 r.batched_n = len(reqs)
                 r.event.set()
         except Exception as e:   # surface to every waiting handler
@@ -354,23 +362,26 @@ def warmup(cfg: StereoConfig, h: int, w: int, max_batch: int = 1) -> float:
     compiles the micro-batch executables (power-of-two sizes up to
     max_batch) so the first concurrent burst does not pay them.
     Returns the total compile+first-frame seconds."""
-    from .pipeline import (compute_disparity, stereo_pipeline_batch,
+    from .pipeline import (compute_disparity_stacked, stereo_pipeline_batch,
                            use_staged_path)
 
     rng = np.random.default_rng(0)
     pair = rng.integers(0, 256, size=(2, h, w, 3), dtype=np.uint8)
     t0 = time.time()
-    compute_disparity(pair[0], pair[1], cfg)
+    compute_disparity_stacked(pair[0], pair[1], cfg,
+                              keys=BatchExecutor._KEYS, compact=True)
     if max_batch > 1 and not use_staged_path(cfg, h, w):
-        import jax
         import jax.numpy as jnp
 
         b = 2
         while b <= max_batch:
             lefts = jnp.asarray(np.stack([pair[0]] * b))
             rights = jnp.asarray(np.stack([pair[1]] * b))
-            jax.block_until_ready(
-                stereo_pipeline_batch(lefts, rights, cfg)["occlusion_filled"])
+            out = stereo_pipeline_batch(lefts, rights, cfg)
+            # includes the batched stacked-fetch executable the
+            # executor's group path dispatches
+            np.asarray(jnp.stack(
+                [out[k] for k in BatchExecutor._KEYS]).astype(jnp.int16))
             b *= 2
     return time.time() - t0
 

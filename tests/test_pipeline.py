@@ -364,3 +364,17 @@ def test_effective_config_stream_fallback_when_unfittable():
     e2 = effective_config(
         StereoConfig(d_min=-511, d_max=0, stream=True), 600, 800)
     assert e2.stream is True
+
+
+def test_compute_disparity_stacked_matches(small_pair):
+    """The single-transfer stacked fetch must equal per-key fetches."""
+    from stereo_matching_cuda_tpu.pipeline import compute_disparity_stacked
+
+    left, right = small_pair
+    a = compute_disparity_stacked(left, right, CFG)
+    b = compute_disparity(left, right, CFG,
+                          keys=("occlusion_filled", "occlusion"))
+    for k in ("occlusion_filled", "occlusion"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    with pytest.raises(ValueError, match="unknown output keys"):
+        compute_disparity_stacked(left, right, CFG, keys=("nope",))
