@@ -358,9 +358,10 @@ def compute_disparity(
     ``keys`` limits which outputs are fetched to the host: every
     fetched array is its own device→host transfer (30–40 ms each on a
     tunneled dev TPU — r4_serve_smoke), so latency-sensitive callers
-    (the serving path) ask only for what they return.  The device
-    computes all outputs either way; unfetched ones are simply never
-    copied back."""
+    ask only for what they return (the serving path goes further:
+    compute_disparity_stacked fetches its outputs in ONE transfer).
+    The device computes all outputs either way; unfetched ones are
+    simply never copied back."""
     if use_staged_path(cfg, rgb_left.shape[0], rgb_left.shape[1]):
         out = stereo_pipeline_staged(
             jnp.asarray(rgb_left), jnp.asarray(rgb_right), cfg, full_outputs)

@@ -19,9 +19,15 @@ Protocol (JSON over HTTP, images base64):
           reference's artifact convention), "disparity_pfm": b64 PFM
           (raw float disparities incl. the -115 occlusion fill),
           "height", "width", "occluded_pixels", "occluded_pct",
-          "seconds"}
+          "seconds", "batched_n"}
 
 Request bodies above 256 MB are rejected with 413 before reading.
+
+Concurrent same-shape requests micro-batch into one device pass
+(BatchExecutor below; `--serve-batch N` caps the batch, 1 disables) —
+measured 2.2x aggregate throughput under 8 concurrent clients
+(BENCH.md round-5 serving).  Outputs come back in one stacked int16
+device→host transfer (exact for disparity maps).
 
 Per-request "d_min"/"d_max" overrides are honored but EXPENSIVE on a
 cold cache: each new (image shape, disparity range) jit-compiles a
