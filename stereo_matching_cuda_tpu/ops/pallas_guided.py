@@ -574,7 +574,8 @@ def guided_wta_fused(
         sh, tw = _pick_tiles_stream(H, W, px, cfg.radius, cfg.size_d,
                                     _vmem_params(cfg)[0],
                                     _stream_n_live(cfg),
-                                    max_sh=_stream_sh_cap(cfg))
+                                    max_sh=_stream_sh_cap(cfg),
+                                    tw_cap=_stream_tw_cap(cfg))
         w_ext = ((tw + 2 * px + 127) // 128) * 128
         nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
         nx = (W + tw - 1) // tw
@@ -705,11 +706,23 @@ def use_stream(cfg: StereoConfig) -> bool:
 _STREAM_UNROLL_ROLL_SH_CAP = 112
 
 # Streaming tile-width candidate cap (lane dimension).  r5 bisect:
-# 2560-wide tiles compile in 4-6 s, 3008 reproducibly crashes the
-# Mosaic compile subprocess — cap at the bisected-good edge.  Raising
-# it from r4's conservative 1536 lets ~1.6-2.6k-wide frames run a
-# single x-tile (measured win: 3 MP 9.36 -> 8.71 ms, r5_widecap).
+# 2560-wide FORI-emission tiles compile in 4-6 s, 3008 reproducibly
+# crashes the Mosaic compile subprocess — cap at the bisected-good
+# edge.  Raising it from r4's conservative 1536 lets ~1.6-2.6k-wide
+# frames run a single x-tile (measured: 3 MP matching 5.27 -> 5.01
+# ms/view, frame 9.36 -> 8.44; 2.4 MP 4.28 -> 4.03 — r5_widecap).
+# The bisect probed the FORI emission only; Mosaic crashes are
+# emission-dependent (the unrolled-roll strip crash does not affect
+# fori), so UNROLLED stream emissions keep the r4-proven 1536 until
+# their own widths are probed (_stream_tw_cap).
 _STREAM_TW_CAP = 2560
+_STREAM_TW_CAP_UNROLLED = 1536
+
+
+def _stream_tw_cap(cfg: StereoConfig, n_slices: int | None = None) -> int:
+    size = cfg.size_d if n_slices is None else n_slices
+    return (_STREAM_TW_CAP_UNROLLED if size <= unroll_max(cfg)
+            else _STREAM_TW_CAP)
 
 
 def _stream_sh_cap(cfg: StereoConfig, n_slices: int | None = None) -> int | None:
@@ -725,12 +738,28 @@ def stream_fits(cfg: StereoConfig, h: int, w: int) -> bool:
     wide ranges can exceed small budgets outright (e.g. 128 slices at
     the 16 MiB default).  effective_config uses this to keep the
     auto stream flip from selecting an impossible kernel (a 1 MP
-    128-disparity default-config frame raised here in r5_midwide)."""
-    _, px = fused_geometry(cfg)
+    128-disparity default-config frame raised here in r5_midwide).
+
+    Models the path the kernel will actually take: the DUAL stream
+    kernel keeps ~2x the carry VMEM (carry_bufs 8*size_d+4,
+    _dual_stream_n_live) of the single-view one, so a single-view
+    check would approve configs the dual build then rejects."""
+    dual = cfg.dual_view is True or (
+        cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg))
+    if dual:
+        _, px = dual_geometry(cfg)
+        n_live = _dual_stream_n_live(cfg)
+        carry_bufs = 8 * cfg.size_d + 4
+    else:
+        _, px = fused_geometry(cfg)
+        n_live = _stream_n_live(cfg)
+        carry_bufs = None
     try:
         _pick_tiles_stream(h, w, px, cfg.radius, cfg.size_d,
-                           _vmem_params(cfg)[0], _stream_n_live(cfg),
-                           max_sh=_stream_sh_cap(cfg))
+                           _vmem_params(cfg)[0], n_live,
+                           carry_bufs=carry_bufs,
+                           max_sh=_stream_sh_cap(cfg),
+                           tw_cap=_stream_tw_cap(cfg))
         return True
     except ValueError:
         return False
@@ -739,7 +768,8 @@ def stream_fits(cfg: StereoConfig, h: int, w: int) -> bool:
 def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
                        vmem_budget: int, n_live: int,
                        carry_bufs: int | None = None,
-                       max_sh: int | None = None) -> tuple[int, int]:
+                       max_sh: int | None = None,
+                       tw_cap: int | None = None) -> tuple[int, int]:
     """(strip_height, tile_width) for the streaming kernel.
 
     With the y-halo gone, the issued work per column is ny'·sh rows ≈
@@ -756,7 +786,7 @@ def _pick_tiles_stream(h: int, w: int, px: int, r: int, size_d: int,
     # at the bisected-good 2560 (the crash edge is in (2560, 3008]),
     # letting ~1.6-2.6k-wide frames take a single x-tile.
     w_cand = ((w + 127) // 128) * 128   # aligned whole-width candidate
-    cap = _STREAM_TW_CAP
+    cap = _STREAM_TW_CAP if tw_cap is None else tw_cap
     tws = sorted(({w_cand} if w_cand <= cap else set()) | {
         tw for tw in (2560, 2304, 2048, 1792, 1536, 1280, 1024, 896, 768,
                       640, 512, 384, 256)
@@ -1630,7 +1660,8 @@ def _dual_stream(gray_l, gray_r, cfg: StereoConfig, H, W, px, nb):
                                 _vmem_params(cfg)[0],
                                 _dual_stream_n_live(cfg),
                                 carry_bufs=8 * size_d + 4,
-                                max_sh=_stream_sh_cap(cfg))
+                                max_sh=_stream_sh_cap(cfg),
+                                tw_cap=_stream_tw_cap(cfg))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
     nx = (W + tw - 1) // tw
@@ -1810,7 +1841,8 @@ def guided_wta_fused_local(
                                     n_slices or cfg.size_d,
                                     _vmem_params(cfg)[0],
                                     _stream_n_live(cfg, n_slices),
-                                    max_sh=_stream_sh_cap(cfg, n_slices))
+                                    max_sh=_stream_sh_cap(cfg, n_slices),
+                                    tw_cap=_stream_tw_cap(cfg, n_slices))
         w_ext = ((tw + 2 * px + 127) // 128) * 128
         nyp = (tile_h + A + 2 * cfg.radius + sh - 1) // sh
         nx = (tile_w + tw - 1) // tw

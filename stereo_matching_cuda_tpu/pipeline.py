@@ -217,6 +217,9 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
 
     from .ops.pallas_guided import _UNROLL_MAX, unroll_max
 
+    # captured BEFORE any rewrite: _SMALL_STRATEGY also sets stream,
+    # and those flips must stay inside the feasibility net (review r5)
+    stream_was_auto = cfg.stream is None
     if (_BIG_STRATEGY and h * w >= _STRATEGY_PIXELS
             and cfg.size_d <= unroll_max(cfg)
             and cfg.dual_view == "auto" and cfg.unroll_max is None
@@ -235,7 +238,6 @@ def effective_config(cfg: StereoConfig, h: int, w: int) -> StereoConfig:
         # unmeasured perf) — those ranges keep the previous non-stream
         # dual default instead
         cfg = dataclasses.replace(cfg, **_SMALL_STRATEGY)
-    stream_was_auto = cfg.stream is None
     if (_STREAM_PIXELS and cfg.stream is None and h * w >= _STREAM_PIXELS
             and cfg.fused in ("auto", True) and not cfg.exact_integral):
         cfg = dataclasses.replace(cfg, stream=True)
@@ -407,7 +409,9 @@ def compute_disparity_stacked(
         raise ValueError(
             f"unknown output keys {missing}; available: {sorted(out)}")
     stacked = jnp.stack([out[k] for k in keys])
-    if compact:
+    # the int16 cast is exact only while every emittable value fits:
+    # labels in [d_min, d_max] and the d_occlusion sentinel (d_min-100)
+    if compact and cfg.d_occlusion >= -32768 and cfg.d_max <= 32767:
         arr = np.asarray(stacked.astype(jnp.int16)).astype(np.float32)
     else:
         arr = np.asarray(stacked)

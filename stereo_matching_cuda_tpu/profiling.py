@@ -134,9 +134,6 @@ def _staged_stage_table(left, right, cfg: StereoConfig, n: int) -> list[dict]:
         else "cost+guided_filter+WTA x2")
     dmap_l, dmap_r = jax.jit(
         lambda a, b: _match(a, b, cfg, False)[1::2][:2])(gl, gr)
-    occ = jax.jit(
-        lambda a, b: ops.detect_occlusion(a, b, cfg.d_occlusion, cfg))(
-        dmap_l, dmap_r)
 
     def chain(fn, x, y):
         def looped(a, b):
@@ -168,6 +165,12 @@ def _staged_stage_table(left, right, cfg: StereoConfig, n: int) -> list[dict]:
                    dmap_l, dmap_r)),
         ]
     else:
+        # occ only feeds the XLA fill row — computing it in the fused
+        # branch would compile+run the full select tree for nothing
+        # (~17 ms/frame-class at wide-D, review r5)
+        occ = jax.jit(
+            lambda a, b: ops.detect_occlusion(a, b, cfg.d_occlusion, cfg))(
+            dmap_l, dmap_r)
         post_rows = [
             ("detect_occlusion",
              chain(lambda a, b: ops.detect_occlusion(

@@ -59,6 +59,7 @@ import numpy as np
 
 from .config import StereoConfig
 from .metrics import occlusion_stats
+from .ops.pallas_post import _next_pow2
 
 # One POST buffers the raw body plus its base64-decoded copy before any
 # validation; cap it so a single oversized request cannot OOM the
@@ -139,7 +140,11 @@ class BatchExecutor:
     _KEYS = ("occlusion_filled", "occlusion")
 
     def __init__(self, max_batch: int = 8, window_s: float = 0.0):
-        self.max_batch = max(1, int(max_batch))
+        # round DOWN to a power of two: batches pad up to pow2 sizes,
+        # so a non-pow2 cap (e.g. 6) would otherwise pad past the cap
+        # AND past what warmup compiled (review r5)
+        mb = max(1, int(max_batch))
+        self.max_batch = mb if mb == _next_pow2(mb) else _next_pow2(mb) // 2
         self.window_s = window_s
         self._q: list[_Request] = []
         self._cv = threading.Condition()
@@ -178,13 +183,6 @@ class BatchExecutor:
                 for i in range(0, len(reqs), self.max_batch):
                     self._run_group(reqs[i:i + self.max_batch], cfg)
 
-    @staticmethod
-    def _pow2_pad(n: int) -> int:
-        p = 1
-        while p < n:
-            p *= 2
-        return p
-
     def _run_group(self, reqs: list, cfg: StereoConfig):
         from .pipeline import (compute_disparity_stacked,
                                stereo_pipeline_batch, use_staged_path)
@@ -202,7 +200,7 @@ class BatchExecutor:
                     r.batched_n = 1
                     r.event.set()
                 return
-            bp = self._pow2_pad(len(reqs))
+            bp = _next_pow2(len(reqs))
             lefts = np.stack([r.left for r in reqs]
                              + [reqs[-1].left] * (bp - len(reqs)))
             rights = np.stack([r.right for r in reqs]
@@ -212,11 +210,14 @@ class BatchExecutor:
             out = stereo_pipeline_batch(
                 jnp.asarray(lefts), jnp.asarray(rights), cfg)
             # whole batch, both outputs: ONE stacked int16 fetch
-            # (exact — the maps hold small-integer labels; halves the
-            # transferred bytes, see compute_disparity_stacked)
-            arr = np.asarray(jnp.stack(
-                [out[k] for k in self._KEYS]).astype(jnp.int16)
-            ).astype(np.float32)
+            # (exact while every emittable value fits int16 — same
+            # guard as compute_disparity_stacked; halves the bytes)
+            stacked = jnp.stack([out[k] for k in self._KEYS])
+            if cfg.d_occlusion >= -32768 and cfg.d_max <= 32767:
+                arr = np.asarray(stacked.astype(jnp.int16)
+                                 ).astype(np.float32)
+            else:
+                arr = np.asarray(stacked)
             for i, r in enumerate(reqs):
                 r.result = {k: arr[j][i] for j, k in enumerate(self._KEYS)}
                 r.batched_n = len(reqs)
@@ -385,9 +386,11 @@ def warmup(cfg: StereoConfig, h: int, w: int, max_batch: int = 1) -> float:
             rights = jnp.asarray(np.stack([pair[1]] * b))
             out = stereo_pipeline_batch(lefts, rights, cfg)
             # includes the batched stacked-fetch executable the
-            # executor's group path dispatches
-            np.asarray(jnp.stack(
-                [out[k] for k in BatchExecutor._KEYS]).astype(jnp.int16))
+            # executor's group path dispatches (same int16 guard)
+            stacked = jnp.stack([out[k] for k in BatchExecutor._KEYS])
+            if cfg.d_occlusion >= -32768 and cfg.d_max <= 32767:
+                stacked = stacked.astype(jnp.int16)
+            np.asarray(stacked)
             b *= 2
     return time.time() - t0
 

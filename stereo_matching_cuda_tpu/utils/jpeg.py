@@ -145,6 +145,8 @@ def read_jpeg(path: str) -> np.ndarray:
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError(f"{path}: truncated JPEG (fill bytes at EOF)")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
