@@ -711,17 +711,20 @@ _STREAM_UNROLL_ROLL_SH_CAP = 112
 # edge.  Raising it from r4's conservative 1536 lets ~1.6-2.6k-wide
 # frames run a single x-tile (measured: 3 MP matching 5.27 -> 5.01
 # ms/view, frame 9.36 -> 8.44; 2.4 MP 4.28 -> 4.03 — r5_widecap).
-# The bisect probed the FORI emission only; Mosaic crashes are
-# emission-dependent (the unrolled-roll strip crash does not affect
-# fori), so UNROLLED stream emissions keep the r4-proven 1536 until
-# their own widths are probed (_stream_tw_cap).
+# Emission coverage (r5_bisect2): the single-view UNROLLED emission
+# also compiles wide tiles fine (tw=1792/2048 in 55-67 s), so it
+# shares the 2560 cap; the DUAL unrolled emission compiles wide tiles
+# without crashing but at 795-1220 s per executable — compile-
+# prohibitive, so it keeps the 1536 cap on compile-time grounds.
 _STREAM_TW_CAP = 2560
-_STREAM_TW_CAP_UNROLLED = 1536
+_STREAM_TW_CAP_DUAL_UNROLLED = 1536
 
 
-def _stream_tw_cap(cfg: StereoConfig, n_slices: int | None = None) -> int:
+def _stream_tw_cap(cfg: StereoConfig, n_slices: int | None = None,
+                   dual: bool = False) -> int:
     size = cfg.size_d if n_slices is None else n_slices
-    return (_STREAM_TW_CAP_UNROLLED if size <= unroll_max(cfg)
+    unrolled = size <= unroll_max(cfg)
+    return (_STREAM_TW_CAP_DUAL_UNROLLED if (dual and unrolled)
             else _STREAM_TW_CAP)
 
 
@@ -759,7 +762,7 @@ def stream_fits(cfg: StereoConfig, h: int, w: int) -> bool:
                            _vmem_params(cfg)[0], n_live,
                            carry_bufs=carry_bufs,
                            max_sh=_stream_sh_cap(cfg),
-                           tw_cap=_stream_tw_cap(cfg))
+                           tw_cap=_stream_tw_cap(cfg, dual=dual))
         return True
     except ValueError:
         return False
@@ -1661,7 +1664,7 @@ def _dual_stream(gray_l, gray_r, cfg: StereoConfig, H, W, px, nb):
                                 _dual_stream_n_live(cfg),
                                 carry_bufs=8 * size_d + 4,
                                 max_sh=_stream_sh_cap(cfg),
-                                tw_cap=_stream_tw_cap(cfg))
+                                tw_cap=_stream_tw_cap(cfg, dual=True))
     w_ext = ((tw + 2 * px + 127) // 128) * 128
     nyp = (H + A + 2 * cfg.radius + sh - 1) // sh
     nx = (W + tw - 1) // tw
