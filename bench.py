@@ -322,6 +322,21 @@ def main():
         except Exception as e:
             log(f"wide-D bench failed: {e!r}")
             extra["wide_d_error"] = repr(e)
+    if not os.environ.get("STEREO_BENCH_SKIP_3MP"):
+        # 3 MP staged frame — captures the r5 single-x-tile pick
+        # (BENCH.md: 9.36 -> 8.44 ms)
+        try:
+            from stereo_matching_cuda_tpu.config import (
+                DEFAULT_CONFIG as _cfg3)
+
+            l3, r3 = _structured_pair(1504, 2048)
+            mp3_ms = _staged_chain_ms(_cfg3, l3, r3, log, "3MP", n_big=9)
+            log(f"3MP full pipeline (staged, structured frames): "
+                f"{mp3_ms:.2f} ms/frame")
+            extra["three_mp_ms_per_frame"] = round(mp3_ms, 2)
+        except Exception as e:
+            log(f"3MP bench failed: {e!r}")
+            extra["three_mp_error"] = repr(e)
 
     print(json.dumps({
         "metric": "tsukuba_full_pipeline_fps",
