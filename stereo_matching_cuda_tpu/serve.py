@@ -4,10 +4,10 @@ The reference is a one-shot CLI; this framework additionally targets
 production serving, where a long-lived process is the natural unit —
 and on TPU it is also the PERFORMANCE unit: jit executables are
 compiled once per (shape, config) and then served from the in-process
-cache at full speed (the round-4 default strategy serves 0.383 ms
-Tsukuba frames behind only a ~6 s Mosaic compile — r4_tsufori,
-BENCH.md); `--serve-warmup HxW` pays that compile at startup instead
-of inside the first request.
+cache at full speed (the round-5 default strategy serves ~0.41 ms
+Tsukuba frames behind only a ~8 s Mosaic compile — BENCH.md);
+`--serve-warmup HxW` pays that compile at startup instead of inside
+the first request.
 
 Protocol (JSON over HTTP, images base64):
 
