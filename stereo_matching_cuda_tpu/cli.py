@@ -131,7 +131,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max micro-batch for --serve: concurrent same-shape "
                         "requests coalesce into one batched device pass "
                         "(padded to power-of-two sizes to bound the compile "
-                        "set).  1 disables batching (default 8)")
+                        "set; non-power-of-two values round DOWN so padding "
+                        "never exceeds the cap).  1 disables batching "
+                        "(default 8)")
     p.add_argument("--serve-ranges", default=None, metavar="MIN:MAX[,...]",
                    help="allowlist of per-request d_min:d_max overrides for "
                         "--serve (e.g. '-15:0,-63:0'); others get 403 "

@@ -378,3 +378,24 @@ def test_compute_disparity_stacked_matches(small_pair):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
     with pytest.raises(ValueError, match="unknown output keys"):
         compute_disparity_stacked(left, right, CFG, keys=("nope",))
+
+
+def test_stream_fits_models_dual_path():
+    """stream_fits must model the kernel path the config actually
+    takes: the dual stream kernel carries ~2x the VMEM of the
+    single-view one, so a config can fit single-view but not dual
+    (review r5)."""
+    from stereo_matching_cuda_tpu.config import StereoConfig
+    from stereo_matching_cuda_tpu.ops.pallas_guided import stream_fits
+
+    # wide-D at a 64 MiB budget: the single-view fori path fits ...
+    single = StereoConfig(d_min=-127, d_max=0, stream=True, vmem_mb=64)
+    assert stream_fits(single, 768, 1280)
+    # ... while the dual path (carries 8*size_d+4 bufs, ~2x) does not
+    # fit until 96 MiB — a single-view check would wrongly approve it
+    dual = StereoConfig(d_min=-127, d_max=0, stream=True, vmem_mb=64,
+                        dual_view=True, unroll_max=128)
+    assert not stream_fits(dual, 768, 1280)
+    dual96 = StereoConfig(d_min=-127, d_max=0, stream=True, vmem_mb=96,
+                          dual_view=True, unroll_max=128)
+    assert stream_fits(dual96, 768, 1280)

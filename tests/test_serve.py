@@ -266,3 +266,15 @@ def test_concurrent_requests_microbatch():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_batch_cap_rounds_down_to_pow2():
+    """A non-power-of-two --serve-batch must round DOWN: batches pad up
+    to pow2 sizes, so a cap of 6 would otherwise build 8-frame batches
+    past the cap and past what warmup compiled (review r5)."""
+    from stereo_matching_cuda_tpu.serve import BatchExecutor
+
+    assert BatchExecutor(max_batch=6).max_batch == 4
+    assert BatchExecutor(max_batch=8).max_batch == 8
+    assert BatchExecutor(max_batch=1).max_batch == 1
+    assert BatchExecutor(max_batch=3).max_batch == 2
