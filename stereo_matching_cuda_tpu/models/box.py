@@ -60,8 +60,11 @@ def box_stereo_pipeline(rgb_left, rgb_right, cfg: StereoConfig = DEFAULT_CONFIG)
 
     best_l, dmap_l = view(gl, gr, cfg.d_min)
     best_r, dmap_r = view(gr, gl, cfg.d_min_right)
-    occ = ops.detect_occlusion(dmap_l, dmap_r, cfg.d_occlusion, cfg)
-    filled = ops.fill_occlusion(occ, cfg.v_min, cfg)
+    # same post gate as the guided pipeline: the fused Pallas post
+    # kernel on TPU (bit-identical), the XLA ops elsewhere
+    from ..pipeline import _post
+
+    occ, filled = _post(dmap_l, dmap_r, cfg)
     return {
         "disparity_left": dmap_l,
         "disparity_right": dmap_r,
