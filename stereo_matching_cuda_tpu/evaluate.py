@@ -92,6 +92,13 @@ def evaluate_scene(scene_dir: str, cfg: StereoConfig,
             f"{scene_dir}: images must be 8-bit, got "
             f"{left.dtype}/{right.dtype}")
 
+    # load + shape-check GT BEFORE the pipeline run: a mismatched GT
+    # would otherwise waste the full TPU compile+run (review r5)
+    gt = load_gt(scene_dir, gt_scale)
+    if gt is not None and gt.shape != left.shape[:2]:
+        raise ValueError(
+            f"{scene_dir}: GT shape {gt.shape} != image {left.shape[:2]}")
+
     ndisp = _read_calib_ndisp(os.path.join(scene_dir, "calib.txt"))
     if ndisp is not None:
         # per-scene range override: drop user knobs the new range makes
@@ -112,11 +119,12 @@ def evaluate_scene(scene_dir: str, cfg: StereoConfig,
         "height": int(left.shape[0]), "width": int(left.shape[1]),
         "ndisp": cfg.size_d,
     }
-    gt = load_gt(scene_dir, gt_scale)
+    if gt is not None and not (gt != 0).any():
+        # a GT file with zero valid pixels must not score a fake
+        # perfect 0.0 into the aggregate (review r5)
+        stats["gt_note"] = "GT present but no valid pixels; not scored"
+        gt = None
     if gt is not None:
-        if gt.shape != disp.shape:
-            raise ValueError(
-                f"{scene_dir}: GT shape {gt.shape} != image {disp.shape}")
         stats["bad_2_0_pct"] = round(bad_pixel_rate(disp, gt, 2.0), 3)
         stats["bad_1_0_pct"] = round(bad_pixel_rate(disp, gt, 1.0), 3)
         stats["epe"] = round(end_point_error(disp, gt), 3)
@@ -136,8 +144,11 @@ def evaluate_dataset(root: str, cfg: StereoConfig,
     for name, d in find_scenes(root):
         try:
             scenes[name] = evaluate_scene(d, cfg, gt_scale)
-        except (OSError, ValueError, NotImplementedError) as e:
-            scenes[name] = {"error": str(e)}
+        except Exception as e:   # any per-scene failure isolates: the
+            # codecs can raise beyond (OSError, ValueError) — e.g. the
+            # pure-Python PNG fallback raises KeyError/struct.error on
+            # corrupt headers (review r5)
+            scenes[name] = {"error": f"{type(e).__name__}: {e}"}
     if not scenes:
         raise ValueError(f"no scenes with im0.png/im1.png under {root}")
     scored = [s for s in scenes.values() if "bad_2_0_pct" in s]
@@ -146,12 +157,16 @@ def evaluate_dataset(root: str, cfg: StereoConfig,
     if scored:
         agg["bad_2_0_pct_mean"] = round(
             float(np.mean([s["bad_2_0_pct"] for s in scored])), 3)
+        agg["bad_1_0_pct_mean"] = round(
+            float(np.mean([s["bad_1_0_pct"] for s in scored])), 3)
         agg["epe_mean"] = round(
             float(np.mean([s["epe"] for s in scored])), 3)
         w = np.array([s["gt_valid_px"] for s in scored], np.float64)
         if w.sum() > 0:
             agg["bad_2_0_pct_weighted"] = round(float(np.average(
                 [s["bad_2_0_pct"] for s in scored], weights=w)), 3)
+            agg["bad_1_0_pct_weighted"] = round(float(np.average(
+                [s["bad_1_0_pct"] for s in scored], weights=w)), 3)
             agg["epe_weighted"] = round(float(np.average(
                 [s["epe"] for s in scored], weights=w)), 3)
     return {"scenes": scenes, "aggregate": agg}

@@ -24,6 +24,8 @@ mismatch count vs the single-chip result.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -38,7 +40,7 @@ except ImportError:                    # older jax: check_rep kwarg
 
 from ..config import StereoConfig, DEFAULT_CONFIG
 from ..ops.boxfilter import box_sum, strict_mul
-from ..ops.guided import BEST_COST_INIT, _recip_var_eps, _chunk_wta
+from ..ops.guided import _recip_var_eps, _chunk_wta
 from ..ops.image import rgb_to_grayscale, fl_to_ch
 from ..ops.shifts import shift_cols
 from .halo import halo_exchange
@@ -136,6 +138,22 @@ def _local_guided_wta(g_ext, cost, area, in_image, cfg):
     return q, mean_i
 
 
+def _combine_d_shards(best, dmap, nd):
+    """Cross-chip WTA combine over the 'd' mesh axis: all_gather the
+    per-range winners and merge in ASCENDING range order with the
+    reference's streaming `best >= q` rule (largest d wins ties,
+    guidedFilter.cu:403-411) — shared by the fused and unfused local
+    paths (review r5: was duplicated)."""
+    bests = jax.lax.all_gather(best, "d")     # (nd, ...)
+    dmaps = jax.lax.all_gather(dmap, "d")
+    best, dmap = bests[0], dmaps[0]
+    for k in range(1, nd):
+        upd = best >= bests[k]
+        best = jnp.where(upd, bests[k], best)
+        dmap = jnp.where(upd, dmaps[k], dmap)
+    return best, dmap
+
+
 def _segmented_fill(occ, v_min, tx, d_min, n_labels):
     """Cross-tile occlusion fill along 'x' (occlusion.cu:134-176
     semantics, race-free scan definition — see ops.occlusion).  Local
@@ -189,6 +207,28 @@ def sharded_stereo_pipeline(
     (B,H,W) outputs (disparity_left/right, occlusion, occlusion_filled,
     best_cost_left, mean_left)."""
     B, H, W = rgb_left.shape[:3]
+    f = _build_sharded(mesh, cfg, B, H, W)
+    dmap_l, dmap_r, occ, filled, best_l, mean_l = f(rgb_left, rgb_right)
+    return {
+        "disparity_left": dmap_l,
+        "disparity_right": dmap_r,
+        "occlusion": occ,
+        "occlusion_filled": filled,
+        "best_cost_left": best_l,
+        "mean_left": mean_l,
+    }
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded(mesh: Mesh, cfg: StereoConfig, B: int, H: int, W: int):
+    """Cached jitted shard_map pipeline for (mesh, cfg, shape).
+
+    A fresh shard_map closure was previously built (and jax.jit'd) on
+    EVERY call, so repeated calls with identical mesh/cfg/shapes missed
+    the jit cache and re-traced+re-compiled the whole sharded graph —
+    minutes per frame on the remote-compile backend (review r5).  Mesh
+    and StereoConfig are both hashable, so the builder caches the
+    jitted callable."""
     nb, ty, tx = (mesh.shape[a] for a in ("b", "y", "x"))
     nd = mesh.shape.get("d", 1)
     if B % nb or H % ty or W % tx:
@@ -264,13 +304,7 @@ def sharded_stereo_pipeline(
                 mean_i = box_sum(I, cfg.radius) / area
                 mean = fl_to_ch(crop(mean_i))
                 if nd > 1:
-                    bests = jax.lax.all_gather(best, "d")
-                    dmaps = jax.lax.all_gather(dmap, "d")
-                    best, dmap = bests[0], dmaps[0]
-                    for k in range(1, nd):
-                        upd = best >= bests[k]
-                        best = jnp.where(upd, bests[k], best)
-                        dmap = jnp.where(upd, dmaps[k], dmap)
+                    best, dmap = _combine_d_shards(best, dmap, nd)
                 return best, dmap, mean
 
             def per_frame(g1f, g2f):
@@ -292,13 +326,7 @@ def sharded_stereo_pipeline(
 
             best, dmap, mean = jax.vmap(per_frame)(g1e, g2e)
             if nd > 1:
-                bests = jax.lax.all_gather(best, "d")   # (nd, Bl, hl, wl)
-                dmaps = jax.lax.all_gather(dmap, "d")
-                best, dmap = bests[0], dmaps[0]
-                for k in range(1, nd):
-                    upd = best >= bests[k]
-                    best = jnp.where(upd, bests[k], best)
-                    dmap = jnp.where(upd, dmaps[k], dmap)
+                best, dmap = _combine_d_shards(best, dmap, nd)
             return best, dmap, mean
 
         best_l, dmap_l, mean_l = view(gle, gre, cfg.d_min)
@@ -351,12 +379,4 @@ def sharded_stereo_pipeline(
         check_rep=False,  # outputs are replicated over 'd' by the
                           # all_gather combine; the checker can't see it
     )
-    dmap_l, dmap_r, occ, filled, best_l, mean_l = jax.jit(f)(rgb_left, rgb_right)
-    return {
-        "disparity_left": dmap_l,
-        "disparity_right": dmap_r,
-        "occlusion": occ,
-        "occlusion_filled": filled,
-        "best_cost_left": best_l,
-        "mean_left": mean_l,
-    }
+    return jax.jit(f)
