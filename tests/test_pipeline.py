@@ -367,15 +367,20 @@ def test_effective_config_stream_fallback_when_unfittable():
 
 
 def test_compute_disparity_stacked_matches(small_pair):
-    """The single-transfer stacked fetch must equal per-key fetches."""
+    """The single-transfer stacked fetch must equal per-key fetches,
+    with AND without the int16 compact cast (exact for the
+    disparity-map family)."""
     from stereo_matching_cuda_tpu.pipeline import compute_disparity_stacked
 
     left, right = small_pair
     a = compute_disparity_stacked(left, right, CFG)
+    c = compute_disparity_stacked(left, right, CFG, compact=True)
     b = compute_disparity(left, right, CFG,
                           keys=("occlusion_filled", "occlusion"))
     for k in ("occlusion_filled", "occlusion"):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        np.testing.assert_array_equal(c[k], b[k], err_msg=f"compact {k}")
+        assert c[k].dtype == np.float32
     with pytest.raises(ValueError, match="unknown output keys"):
         compute_disparity_stacked(left, right, CFG, keys=("nope",))
 
