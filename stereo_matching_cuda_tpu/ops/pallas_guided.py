@@ -747,8 +747,9 @@ def stream_fits(cfg: StereoConfig, h: int, w: int) -> bool:
     kernel keeps ~2x the carry VMEM (carry_bufs 8*size_d+4,
     _dual_stream_n_live) of the single-view one, so a single-view
     check would approve configs the dual build then rejects."""
-    dual = cfg.dual_view is True or (
-        cfg.dual_view == "auto" and cfg.size_d <= unroll_max(cfg))
+    from ..pipeline import use_dual_view   # single source of truth
+
+    dual = use_dual_view(cfg)
     if dual:
         _, px = dual_geometry(cfg)
         n_live = _dual_stream_n_live(cfg)

@@ -36,7 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import StereoConfig, DEFAULT_CONFIG
-from .pallas_guided import _roll
+from .pallas_guided import _roll, _vmem_params
+
+# select-tree unroll threshold — intentionally NOT cfg.unroll_max
+# (see the comment at the use site)
+_POST_UNROLL_MAX = 32
 
 
 def _next_pow2(n: int) -> int:
@@ -77,8 +81,14 @@ def _post_kernel(dl_ref, dr_ref, occ_ref, fill_ref, *, cfg: StereoConfig,
     xs = col + d
     in_range = (xs >= 0) & (xs < w)
     dprime = jnp.zeros_like(dr)
-    n_unroll = 32
-    if cfg.size_d <= n_unroll:
+    # The post kernel keeps its OWN unroll threshold (32) and
+    # deliberately does NOT follow cfg.unroll_max: that knob is tuned
+    # for the HEAVY matching-slice bodies, while a select-tree label
+    # costs 3 trivial ops — and routing the r5 default's unroll_max=8
+    # here flipped Tsukuba's D=16 tree to the fori emission, whose
+    # Mosaic compile measured 821 s vs seconds unrolled
+    # (scripts/logs_r5/r5_post_smoke2.log).
+    if cfg.size_d <= _POST_UNROLL_MAX:
         for s in range(cfg.size_d):
             lab = cfg.d_min + s
             dprime = jnp.where(d == lab, _roll(dr, -lab, 1), dprime)
@@ -121,9 +131,11 @@ def _post_kernel(dl_ref, dr_ref, occ_ref, fill_ref, *, cfg: StereoConfig,
 
 
 def _pick_strip(hp: int, wp: int, budget_bytes: int) -> int:
-    """Strip height: ~12 live (sh, wp) f32 buffers against the budget
-    (2 inputs, 2 outputs, d/xs/dprime/keys/scans temps)."""
-    sh = budget_bytes // (12 * 4 * wp)
+    """Strip height: ~16 live (sh, wp) f32 buffers against the budget
+    (2 inputs, 2 outputs, d/xs/dprime/keys/scans temps; conservative
+    so the larger cfg.vmem_mb budgets never ride the VMEM edge —
+    this kernel is ≤3% of any frame, strip size barely matters)."""
+    sh = budget_bytes // (16 * 4 * wp)
     sh = max(8, min(hp, sh // 8 * 8))
     return sh
 
@@ -138,7 +150,9 @@ def lr_fill_fused(dmap_l: jax.Array, dmap_r: jax.Array,
     hp = -(-h // 8) * 8
     dl = jnp.pad(dmap_l, ((0, hp - h), (0, wp - w)))
     dr = jnp.pad(dmap_r, ((0, hp - h), (0, wp - w)))
-    budget = 16 * 1024 * 1024
+    # budget/limit follow cfg.vmem_mb like every other kernel
+    # (review r5: was a hardcoded 16 MiB / 64 MiB pair)
+    budget, vmem_limit = _vmem_params(cfg)
     sh = _pick_strip(hp, wp, budget)
     ny = -(-hp // sh)
     if hp % sh:
@@ -158,7 +172,7 @@ def lr_fill_fused(dmap_l: jax.Array, dmap_r: jax.Array,
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((ny * sh, wp), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit,
             dimension_semantics=("arbitrary",)),
     )(dl, dr)
     return occ[:h, :w], filled[:h, :w]

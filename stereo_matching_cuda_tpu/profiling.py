@@ -18,7 +18,6 @@ from __future__ import annotations
 import contextlib
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -82,11 +81,15 @@ def _prefix_fn(cfg: StereoConfig, stage: int, fused: bool):
 def _chained(fn, n):
     def looped(l, r):
         def step(i, carry):
-            li, acc = carry
-            v = fn(li, r)
-            li2 = li + (v.astype(jnp.uint8) & 1)  # serialize iterations
-            return (li2, acc + v)
-        _, acc = jax.lax.fori_loop(0, n, step, (l, jnp.float32(0)))
+            li, ri, acc = carry
+            v = fn(li, ri)
+            # serialize iterations AND keep BOTH operands loop-variant:
+            # an invariant right image lets XLA hoist right-only work
+            # (e.g. rgb_to_grayscale(r)) out of the chain, undercounting
+            # the stage (review r5)
+            bump = (v.astype(jnp.uint8) & 1)
+            return (li + bump, ri + bump, acc + v)
+        _, _, acc = jax.lax.fori_loop(0, n, step, (l, r, jnp.float32(0)))
         return acc
     return jax.jit(looped)
 
@@ -120,9 +123,10 @@ def _staged_stage_table(left, right, cfg: StereoConfig, n: int) -> list[dict]:
     jit (the composed prefix graphs stage_table builds trip the same
     pathological XLA compile the staged product path exists to avoid —
     BENCH.md).  Stage attribution is direct, not prefix-differenced."""
-    from . import ops
     from .pipeline import _match, use_fused_path, use_dual_view
 
+    if n < 2:
+        raise ValueError(f"stage tables need n >= 2 frames, got {n}")
     l = jnp.asarray(left)
     r = jnp.asarray(right)
     gray = jax.jit(lambda x: ops.rgb_to_grayscale(x, cfg))
@@ -216,12 +220,15 @@ def stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG,
     if use_staged_path(cfg, left.shape[0], left.shape[1]):
         return _staged_stage_table(left, right, cfg, n if n is not None else 9)
     if n is None:
-        # sub-ms frames need a wide differencing window: the tunnel's
-        # ±4 ms dispatch jitter leaves ±0.5 ms/frame at n=9, swamping
-        # 0.4 ms stages (BENCH.md measurement-noise caveat); the r4
-        # default's prefix chains compile in seconds so this is cheap.
-        # An explicitly passed n is always honored.
-        n = 49 if left.shape[0] * left.shape[1] < 500_000 else 9
+        # sub-ms frames need the full >=96-frame differencing window
+        # (CLAUDE.md timing rule; n=97 vs the 1-frame chain gives 96):
+        # the tunnel's ±4 ms dispatch jitter leaves ±0.5 ms/frame at
+        # n=9, swamping 0.4 ms stages (BENCH.md measurement-noise
+        # caveat); the r4 default's prefix chains compile in seconds
+        # so this is cheap.  An explicitly passed n is always honored.
+        n = 97 if left.shape[0] * left.shape[1] < 500_000 else 9
+    if n < 2:
+        raise ValueError(f"stage_table needs n >= 2 frames, got {n}")
     fused = use_fused_path(cfg)
     if fused and use_dual_view(cfg):
         fused = "dual"
@@ -265,6 +272,14 @@ def batch_stage_table(left, right, cfg: StereoConfig = DEFAULT_CONFIG,
 
     if left.ndim != 4:
         raise ValueError(f"batch_stage_table needs (B,H,W,C), got {left.shape}")
+    from .pipeline import use_staged_path
+
+    if use_staged_path(cfg, left.shape[1], left.shape[2]):
+        raise ValueError(
+            f"batch_stage_table's composed prefix graphs would trip the "
+            f"big-frame XLA compile pathology at {left.shape[1]}x"
+            f"{left.shape[2]} (BENCH.md); profile staged-scale frames "
+            f"per frame via stage_table instead")
     cfg = effective_config(cfg, left.shape[1], left.shape[2])
     fused = use_fused_path(cfg)
     if fused and use_dual_view(cfg):
