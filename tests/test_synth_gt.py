@@ -154,3 +154,50 @@ def test_eval_dataset_two_scenes_aggregate():
     assert "bad_2_0_pct_weighted" in agg and "epe_weighted" in agg
     lo, hi = sorted([s0["bad_2_0_pct"], s1["bad_2_0_pct"]])
     assert lo <= agg["bad_2_0_pct_mean"] <= hi
+
+
+def test_eval_zero_valid_gt_not_scored(tmp_path):
+    """A GT file with zero valid pixels must not score a fake perfect
+    0.0 into the aggregate (review r5)."""
+    import shutil
+
+    from stereo_matching_cuda_tpu.evaluate import evaluate_dataset
+    from stereo_matching_cuda_tpu.utils.pnm import write_pfm
+
+    scene = tmp_path / "zero_gt"
+    scene.mkdir()
+    shutil.copy(f"{FIXTURE}/scene0/im0.png", scene / "im0.png")
+    shutil.copy(f"{FIXTURE}/scene0/im1.png", scene / "im1.png")
+    write_pfm(str(scene / "disp0.pfm"),
+              np.full((240, 320), np.inf, np.float32))   # all-unknown GT
+    rep = evaluate_dataset(str(tmp_path), StereoConfig())
+    s = rep["scenes"]["zero_gt"]
+    assert "bad_2_0_pct" not in s
+    assert "gt_note" in s
+    assert rep["aggregate"]["scored"] == 0
+
+
+def test_eval_corrupt_scene_isolated(tmp_path):
+    """A scene whose PNG is corrupt must be reported as {'error': ...}
+    instead of aborting the dataset run — the pure-Python codec raises
+    beyond (OSError, ValueError) on mangled headers (review r5)."""
+    import shutil
+
+    from stereo_matching_cuda_tpu.evaluate import evaluate_dataset
+
+    good = tmp_path / "good"
+    good.mkdir()
+    for f in ("im0.png", "im1.png", "disp0.pfm", "calib.txt"):
+        src = f"{FIXTURE}/scene0/{f}"
+        if os.path.exists(src):
+            shutil.copy(src, good / f)
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    shutil.copy(f"{FIXTURE}/scene0/im1.png", bad / "im1.png")
+    raw = bytearray(open(f"{FIXTURE}/scene0/im0.png", "rb").read())
+    raw[25] = 99   # mangle the IHDR color-type byte
+    (bad / "im0.png").write_bytes(bytes(raw))
+    rep = evaluate_dataset(str(tmp_path), StereoConfig())
+    assert "error" in rep["scenes"]["bad"]
+    assert "bad_2_0_pct" in rep["scenes"]["good"]
+    assert rep["aggregate"]["errors"] == 1
