@@ -351,6 +351,13 @@ void sio_write_mat_normalize(const float* in, unsigned char* out, long long n) {
       mn = v;
   }
   const float scale_den = mx - mn;
+  if (scale_den == 0.0f) {
+    // constant input: the reference's expression divides by zero and
+    // casts NaN to int (UB).  Both hardware paths happened to produce
+    // 0; make that the defined contract (matches the NumPy twin).
+    for (long long i = 0; i < n; ++i) out[i] = 0;
+    return;
+  }
   for (long long i = 0; i < n; ++i) {
     const int c = int((in[i] - mn) * 255.0f / scale_den);
     out[i] = static_cast<unsigned char>(c);

@@ -143,7 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
-    return R.write_mat_normalize(np.asarray(mat, dtype=np.float32))
+    # utils.io routes through the native codec when built and the
+    # NumPy oracle otherwise — one normalizer for CLI and serve
+    from .utils.io import write_mat_normalize
+
+    return write_mat_normalize(np.asarray(mat, dtype=np.float32))
 
 
 def _run_sequence(args, cfg) -> int:
@@ -330,7 +334,9 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
         for flag, on in [("--mesh", args.mesh), ("--sequence", args.sequence),
-                         ("--oracle", args.oracle)]:
+                         ("--oracle", args.oracle),
+                         ("--aggregation box", args.aggregation == "box"),
+                         ("--profile", args.profile)]:
             if on:
                 print(f"error: --eval does not support {flag}",
                       file=sys.stderr)
@@ -347,6 +353,15 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     if args.sequence:
+        # the sequence runner drives the batched JAX pipeline only —
+        # reject modes it would silently ignore (review r5)
+        for flag, on in [("--oracle", args.oracle), ("--mesh", args.mesh),
+                         ("--gt", args.gt), ("--profile", args.profile),
+                         ("--dump-intermediates", args.dump_intermediates)]:
+            if on:
+                print(f"error: --sequence does not support {flag}",
+                      file=sys.stderr)
+                return 2
         return _run_sequence(args, cfg)
     try:
         left = read_image(args.left)
@@ -436,7 +451,11 @@ def main(argv=None) -> int:
     if args.gt:
         from .metrics import bad_pixel_rate, end_point_error
 
-        gt_img = read_image(args.gt).astype(np.float32)
+        try:
+            gt_img = read_image(args.gt).astype(np.float32)
+        except (OSError, ValueError, NotImplementedError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         if gt_img.ndim == 3:
             gt_img = gt_img[..., 0]
         # Middlebury PFM marks unknown pixels with inf; map them to the
@@ -447,6 +466,15 @@ def main(argv=None) -> int:
         stats["bad_2_0_pct"] = round(bad_pixel_rate(disp, gt, 2.0), 3)
         stats["epe"] = round(end_point_error(disp, gt), 3)
     if args.profile:
+        if args.oracle or args.mesh or args.aggregation == "box":
+            # stage_table profiles the guided JAX single-chip pipeline;
+            # profiling a DIFFERENT path than the one that produced the
+            # outputs would mislead (and can trigger an unrequested
+            # fused-kernel compile) — review r5
+            print("error: --profile covers the guided single-chip JAX "
+                  "pipeline; it does not combine with --oracle/--mesh/"
+                  "--aggregation box", file=sys.stderr)
+            return 2
         from .profiling import stage_table, print_stage_table
 
         print_stage_table(stage_table(left, right, cfg), file=sys.stderr)

@@ -311,6 +311,12 @@ def write_mat_normalize(mat: np.ndarray) -> np.ndarray:
     nonbreak = flat[~breaking]
     mx = np.float32(np.max(flat)) if np.any(flat > init_max) else init_max
     mn = np.float32(np.min(nonbreak)) if nonbreak.size and np.min(nonbreak) <= init_min else init_min
+    if mx == mn:
+        # constant input: the reference's expression divides by zero
+        # and casts NaN to int (UB in C).  Both implementations
+        # happened to produce 0 on x86; make that the defined contract
+        # (the native codec guards identically).
+        return np.zeros(mat.shape, np.uint8)
     with np.errstate(over="ignore", invalid="ignore"):
         # extreme inputs overflow f32 and produce NaN→0 casts exactly as
         # the C expression does — intentional, matches main.cu:28-30

@@ -25,9 +25,12 @@ import struct
 
 import numpy as np
 
+from .parse import codec_errors
+
 
 # ----------------------------------------------------------------- BMP
 
+@codec_errors("BMP")
 def read_bmp(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
@@ -103,6 +106,7 @@ def write_bmp(path: str, img: np.ndarray) -> None:
 
 # ----------------------------------------------------------------- TGA
 
+@codec_errors("TGA")
 def read_tga(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
@@ -181,6 +185,7 @@ def write_tga(path: str, img: np.ndarray) -> None:
 
 # ----------------------------------------------------------------- HDR
 
+@codec_errors("HDR")
 def read_hdr(path: str) -> np.ndarray:
     """Radiance .hdr → float32 (H, W, 3) linear RGB.
 

@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 
+from .parse import codec_errors
+
 # natural order index for each zigzag position
 _ZIGZAG = np.array([
     0,  1,  8, 16,  9,  2,  3, 10,
@@ -123,6 +125,22 @@ def _upsample_triangle(c: np.ndarray, fh: int, fv: int,
     return out[:h, :w]
 
 
+def _finish_components(out, path):
+    """Gray passthrough or JFIF YCbCr→RGB — shared by the baseline and
+    progressive reconstruction paths (review r5: was duplicated)."""
+    if len(out) == 1:
+        return out[0].astype(np.uint8)
+    if len(out) != 3:
+        raise NotImplementedError(
+            f"{path}: {len(out)}-component JPEG unsupported")
+    y, cb, cr = (o.astype(np.float64) for o in out)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+
+@codec_errors("JPEG")
 def read_jpeg(path: str) -> np.ndarray:
     """Decode a baseline or progressive JPEG → uint8 (H, W) grayscale
     or (H, W, 3) RGB (JFIF YCbCr conversion)."""
@@ -204,6 +222,16 @@ def read_jpeg(path: str) -> np.ndarray:
                 scan.append((cs, tt >> 4, tt & 15))
             ecs_start = pos + seg_len
             if not progressive:
+                if ns < len(frame[2]):
+                    # multi-scan (non-interleaved) baseline: each scan
+                    # carries a component subset; decoding only the
+                    # first would silently return a partial image
+                    # (review r5).  Rare — reject cleanly until the
+                    # scan-accumulation path covers baseline too.
+                    raise NotImplementedError(
+                        f"{path}: non-interleaved multi-scan baseline "
+                        f"JPEG ({ns} of {len(frame[2])} components in "
+                        f"the first scan)")
                 return _decode_scan(path, data, ecs_start, frame, scan,
                                     qt, huff_dc, huff_ac, restart)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
@@ -321,16 +349,7 @@ def _decode_scan(path, data, pos, frame, scan, qt, huff_dc, huff_ac,
     for cs, fh, fv, _, _, _ in scan_comps:
         p = np.clip(np.round(planes[cs]), 0, 255)
         out.append(_upsample_triangle(p, hmax // fh, vmax // fv, H, W))
-    if len(out) == 1:
-        return out[0].astype(np.uint8)
-    if len(out) != 3:
-        raise NotImplementedError(
-            f"{path}: {len(out)}-component JPEG unsupported")
-    y, cb, cr = (o.astype(np.float64) for o in out)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+    return _finish_components(out, path)
 
 
 # ------------------------------------------------- progressive (SOF2)
@@ -541,16 +560,7 @@ def _reconstruct_prog(path, frame, geom, coefs, qt):
         plane = spatial.transpose(0, 2, 1, 3).reshape(pbh * 8, pbw * 8)
         p = np.clip(np.round(plane), 0, 255)
         out.append(_upsample_triangle(p, hmax // fh, vmax // fv, H, W))
-    if len(out) == 1:
-        return out[0].astype(np.uint8)
-    if len(out) != 3:
-        raise NotImplementedError(
-            f"{path}: {len(out)}-component JPEG unsupported")
-    y, cb, cr = (o.astype(np.float64) for o in out)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+    return _finish_components(out, path)
 
 
 # ------------------------------------------------------------- encoder

@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from .parse import codec_errors
+
 
 # ----------------------------------------------------------------- GIF
 
@@ -72,6 +74,7 @@ def _lzw_decode(min_code: int, data: bytes, n_out: int, path: str) -> bytes:
     return bytes(out[:n_out])
 
 
+@codec_errors("GIF")
 def read_gif(path: str) -> np.ndarray:
     """First frame of a GIF, composited on the logical canvas.
     Returns (H, W, 3) uint8, or (H, W, 4) when the frame's graphic
@@ -156,6 +159,7 @@ def read_gif(path: str) -> np.ndarray:
 
 # ----------------------------------------------------------------- PSD
 
+@codec_errors("PSD")
 def read_psd(path: str) -> np.ndarray:
     """Photoshop composite image: 8-bit raw/RLE and 16-bit raw, RGB or
     grayscale (+alpha).  Returns uint8 (uint16 for 16-bit files)."""
@@ -229,6 +233,7 @@ def read_psd(path: str) -> np.ndarray:
 
 # ----------------------------------------------------------------- PIC
 
+@codec_errors("PIC")
 def read_pic(path: str) -> np.ndarray:
     """Softimage PIC: uncompressed (type 0) and mixed-RLE (type 2)
     channel packets at 8 bits/channel → uint8 RGB(A)."""

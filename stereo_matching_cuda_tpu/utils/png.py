@@ -21,6 +21,8 @@ import zlib
 
 import numpy as np
 
+from .parse import codec_errors
+
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
@@ -97,6 +99,7 @@ def _deinterlace_adam7(raw: bytes, h: int, w: int, bpp: int,
     return full
 
 
+@codec_errors("PNG")
 def read_png(path: str) -> np.ndarray:
     """Returns uint8 array of shape (H, W) for grayscale or (H, W, C)."""
     with open(path, "rb") as f:

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .parse import codec_errors
+
 
 def _read_token(f) -> bytes:
     """Next whitespace-delimited token, skipping '#' comments."""
@@ -26,12 +28,20 @@ def _read_token(f) -> bytes:
             continue
         if c.isspace():
             if tok:
+                if c == b"\r":
+                    # CRLF-written headers: consume the LF too, or it
+                    # becomes the first payload byte and shifts every
+                    # float by one (review r5)
+                    nxt = f.read(1)
+                    if nxt and nxt != b"\n":
+                        f.seek(-1, 1)
                 break
             continue
         tok += c
     return tok
 
 
+@codec_errors("PNM")
 def read_pnm(path: str) -> np.ndarray:
     """uint8/uint16 (H,W) for P5 or (H,W,3) for P6."""
     with open(path, "rb") as f:
@@ -72,6 +82,7 @@ def write_pnm(path: str, img: np.ndarray) -> None:
         f.write(payload)
 
 
+@codec_errors("PFM")
 def read_pfm(path: str) -> np.ndarray:
     """float32 (H,W) for 'Pf' or (H,W,3) for 'PF'; rows are stored
     bottom-up per the PFM spec, returned top-down; the scale line's

@@ -152,3 +152,22 @@ def test_cli_eval_missing_right_pair_required(tmp_path):
     r = _run([lp])
     assert r.returncode == 2
     assert "right image is required" in r.stderr
+
+
+def test_sequence_rejects_unsupported_combos(tmp_path):
+    """--sequence previously IGNORED --oracle/--mesh/--gt (review r5);
+    now it must reject them with exit 2."""
+    from stereo_matching_cuda_tpu.cli import main
+
+    (tmp_path / "L").mkdir()
+    (tmp_path / "R").mkdir()
+    rc = main([str(tmp_path / "L"), str(tmp_path / "R"),
+               "--sequence", "--oracle"])
+    assert rc == 2
+
+
+def test_eval_rejects_box_aggregation(tmp_path):
+    from stereo_matching_cuda_tpu.cli import main
+
+    rc = main([str(tmp_path), "--eval", "--aggregation", "box"])
+    assert rc == 2

@@ -229,3 +229,24 @@ def test_bmp_pair_through_cli(tmp_path):
     a = pypng.read_png(str(tmp_path / "out_bmp" / "disparity_mapl.png"))
     b = pypng.read_png(str(tmp_path / "out_png" / "disparity_mapl.png"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_corrupt_files_raise_valueerror(tmp_path):
+    """The codec error contract (review r5): malformed binary files
+    must raise ValueError, not IndexError/struct.error — the CLI and
+    serve map ValueError to clean diagnostics."""
+    import pytest
+
+    from stereo_matching_cuda_tpu.utils.imagefmt import read_bmp
+    from stereo_matching_cuda_tpu.utils.legacyfmt import read_gif
+
+    short_bmp = tmp_path / "short.bmp"
+    short_bmp.write_bytes(b"BM\x00\x00")          # 4-byte header
+    with pytest.raises(ValueError, match="corrupt BMP"):
+        read_bmp(str(short_bmp))
+
+    trunc_gif = tmp_path / "trunc.gif"
+    trunc_gif.write_bytes(b"GIF89a\x02\x00\x02\x00\x80\x00\x00"
+                          b"\x00\x00\x00\xff\xff\xff\x2c")
+    with pytest.raises(ValueError, match="corrupt GIF|GIF"):
+        read_gif(str(trunc_gif))

@@ -52,3 +52,19 @@ def test_native_write_mat_normalize_extremes():
 def test_native_read_missing_file_falls_back_cleanly(tmp_path):
     with pytest.raises(Exception):
         io.read_png(str(tmp_path / "nope.png"))
+
+
+def test_write_mat_normalize_constant_input():
+    """Constant input hits the reference expression's divide-by-zero;
+    the defined contract is all-zeros in BOTH the NumPy oracle and the
+    native codec (review r5: the C cast of NaN was UB)."""
+    import numpy as np
+
+    from stereo_matching_cuda_tpu import reference as R
+    from stereo_matching_cuda_tpu.utils.io import write_mat_normalize
+
+    const = np.full((6, 8), 3.25, np.float32)
+    np.testing.assert_array_equal(R.write_mat_normalize(const),
+                                  np.zeros((6, 8), np.uint8))
+    np.testing.assert_array_equal(write_mat_normalize(const),
+                                  np.zeros((6, 8), np.uint8))

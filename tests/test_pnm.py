@@ -81,3 +81,17 @@ def test_gt_workflow_pfm(tmp_path, rng):
     stats = json.loads(p.stdout)
     assert "bad_2_0_pct" in stats and "epe" in stats
     assert np.isfinite(stats["bad_2_0_pct"]) and np.isfinite(stats["epe"])
+
+
+def test_pfm_crlf_header(tmp_path):
+    """CRLF-written PFM headers must not shift the payload by one byte
+    (review r5)."""
+    import numpy as np
+
+    from stereo_matching_cuda_tpu.utils.pnm import read_pfm
+
+    arr = np.arange(12, dtype="<f4").reshape(3, 4)
+    p = tmp_path / "crlf.pfm"
+    payload = arr[::-1].tobytes()                 # bottom-up rows
+    p.write_bytes(b"Pf\r\n4 3\r\n-1.0\r\n" + payload)
+    np.testing.assert_array_equal(read_pfm(str(p)), arr)
