@@ -38,25 +38,15 @@ def box_stereo_pipeline(rgb_left, rgb_right, cfg: StereoConfig = DEFAULT_CONFIG)
             best, sidx = ops.streaming_wta(q)
             return best, (dmin + sidx).astype(jnp.float32)
 
-        # d-chunk streaming, same ascending `best >= q` carry as the
-        # guided path (bounds the filtered-volume intermediates)
-        chunks = cost.reshape(size_d // dc, dc, h, w)
-        starts = jnp.arange(size_d // dc, dtype=jnp.int32) * dc
+        # d-chunk streaming through THE shared ascending `best >= q`
+        # carry (ops/guided.py::chunked_wta_scan — one home for the
+        # cross-chunk tie rule)
+        from ..ops.guided import chunked_wta_scan
 
-        def step(carry, xs):
-            best0, dmap0 = carry
-            chunk, start = xs
-            q = box_mean(chunk, cfg.radius, area, exact=cfg.exact_integral)
-            bestc, sidx = ops.streaming_wta(q)
-            upd = best0 >= bestc
-            return (jnp.where(upd, bestc, best0),
-                    jnp.where(upd, (dmin + start + sidx).astype(jnp.float32),
-                              dmap0)), None
-
-        init = (jnp.full((h, w), BEST_COST_INIT, dtype=jnp.float32),
-                jnp.zeros((h, w), dtype=jnp.float32))
-        (best, dmap), _ = jax.lax.scan(step, init, (chunks, starts))
-        return best, dmap
+        return chunked_wta_scan(
+            cost, dc, dmin,
+            lambda chunk: box_mean(chunk, cfg.radius, area,
+                                   exact=cfg.exact_integral))
 
     best_l, dmap_l = view(gl, gr, cfg.d_min)
     best_r, dmap_r = view(gr, gl, cfg.d_min_right)

@@ -57,8 +57,7 @@ def cost_volume(
     oob = (one - alpha) * th_color + alpha * th_grad  # 2.5 (costVolume.cu:184)
 
     slices = []
-    for s in range(cfg.size_d):
-        d = dmin + s
+    for d in cfg.disparities(dmin):
         g2s, vg = _shift_x(g2, d)
         d2s, _ = _shift_x(der2, d)
         diff = jnp.abs(g1 - g2s).astype(jnp.float32)

@@ -135,25 +135,34 @@ def guided_filter_wta(
         dmap = (dmin + sidx).astype(jnp.float32)
         return best, dmap, mean_u8
 
-    # Chunked streaming: scan ascending over D in chunks, carrying the
-    # running (best, dmap).  Matches the reference's ascending-d loop:
-    # a later chunk's winner replaces the carry when carry_best >= new.
+    best, dmap = chunked_wta_scan(
+        cost, dc, dmin,
+        lambda chunk: _chunk_filter(I, mean_i, c, area, chunk, r, exact))
+    return best, dmap, mean_u8
+
+
+def chunked_wta_scan(cost, dc, dmin, chunk_q):
+    """Ascending d-chunk streaming WTA: scan chunks of ``dc`` slices,
+    aggregate each with ``chunk_q(chunk) -> q``, and carry (best, dmap)
+    under THE ascending ``best >= q`` rule (largest d wins ties,
+    guidedFilter.cu:403-411 with the ascending loop :171) — the single
+    home of the cross-chunk tie semantics, shared by the guided and
+    box aggregation families (review r5: was duplicated in
+    models/box.py)."""
+    size_d, h, w = cost.shape
     chunks = cost.reshape(size_d // dc, dc, h, w)
     starts = jnp.arange(size_d // dc, dtype=jnp.int32) * dc
 
     def step(carry, xs):
         best0, dmap0 = carry
         chunk, start = xs
-        q = _chunk_filter(I, mean_i, c, area, chunk, r, exact)
-        bestc, sidx = _chunk_wta(q)
+        bestc, sidx = _chunk_wta(chunk_q(chunk))
         upd = best0 >= bestc
-        best1 = jnp.where(upd, bestc, best0)
-        dmap1 = jnp.where(upd, (dmin + start + sidx).astype(jnp.float32), dmap0)
-        return (best1, dmap1), None
+        return (jnp.where(upd, bestc, best0),
+                jnp.where(upd, (dmin + start + sidx).astype(jnp.float32),
+                          dmap0)), None
 
-    init = (
-        jnp.full((h, w), BEST_COST_INIT, dtype=jnp.float32),
-        jnp.zeros((h, w), dtype=jnp.float32),
-    )
+    init = (jnp.full((h, w), BEST_COST_INIT, dtype=jnp.float32),
+            jnp.zeros((h, w), dtype=jnp.float32))
     (best, dmap), _ = jax.lax.scan(step, init, (chunks, starts))
-    return best, dmap, mean_u8
+    return best, dmap

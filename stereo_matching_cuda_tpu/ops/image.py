@@ -75,7 +75,8 @@ def rgb_to_grayscale(rgb: jax.Array, cfg: StereoConfig = DEFAULT_CONFIG) -> jax.
     The table lookups are TWO gathers — ~1 ms each per Tsukuba frame on
     the TPU VPU, i.e. 40x the rest of the pipeline's grayscale cost —
     so the default (fast) path skips the correction: at most a +1 gray
-    shift on ~24 ppm of inputs (3-4 pixels per Tsukuba frame), inside
+    shift on ~32 ppm of inputs (536 of the 256^3 cube; 3-4 pixels per
+    Tsukuba frame), inside
     the fast path's WTA-tie tolerance.  Parity mode pays for the
     gathers.
     """

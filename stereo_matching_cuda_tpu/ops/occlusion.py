@@ -27,6 +27,7 @@ def detect_occlusion(
     disp_right: jax.Array,
     d_occlusion: int,
     cfg: StereoConfig = DEFAULT_CONFIG,
+    dmin: int | None = None,
 ) -> jax.Array:
     """Write ``d_occlusion`` into LR-inconsistent left-map pixels.
 
@@ -34,6 +35,13 @@ def detect_occlusion(
     |d + dispR[x+d]| > D_LR (occlusion.cu:8-12).  The short-circuit
     ``||`` means dispR is only ever read in range — replicated by
     clipping the gather index and OR-ing the masks.
+
+    PRECONDITION: ``disp_left``'s values must come from the label set
+    ``cfg.disparities(dmin)`` (the WTA guarantees this for pipeline
+    maps) — the gather is a select over those statically-shifted
+    copies of ``disp_right`` (measured 6-28x faster than a TPU
+    gather, BENCH.md), so any other value falls through to dprime=0.
+    Maps with a different label base pass ``dmin`` (review r5).
     """
     w = disp_left.shape[-1]
     d = disp_left.astype(jnp.int32)  # trunc toward zero
@@ -43,7 +51,7 @@ def detect_occlusion(
     # dispR[x + d]: d takes only the size_d labels the WTA can emit, so
     # the gather becomes a select over size_d statically-shifted copies
     # of dispR (gathers are slow on the TPU VPU; shifts fuse).
-    labels = tuple(cfg.d_min + s for s in range(cfg.size_d))
+    labels = cfg.disparities(dmin)
     dprime = jnp.zeros_like(disp_right)
     for lab in labels:
         dprime = jnp.where(d == lab, shift_cols(disp_right, lab), dprime)
@@ -80,6 +88,10 @@ def _last_valid_packed(disp: jax.Array, valid: jax.Array,
     x = jnp.arange(w, dtype=jnp.int32)
     code = disp.astype(jnp.int32) - d_min  # exact: labels are small ints
     pos = (w - 1 - x) if reverse else x
+    # clamp: a value outside the label set would otherwise spill into
+    # a NEIGHBOR pixel's key range and corrupt the cummax (review r5;
+    # in-set labels are unaffected — the fill stays exact for them)
+    code = jnp.clip(code, 0, n_labels - 1)
     key = jnp.where(valid, pos * n_labels + code, jnp.int32(-1))
     m = jax.lax.cummax(key, axis=disp.ndim - 1, reverse=reverse)
     found = m >= 0

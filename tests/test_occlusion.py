@@ -87,3 +87,25 @@ def test_packed_fill_equals_generic_scan(rng):
         slow = np.asarray(fill_occlusion(jnp.asarray(disp), cfg.v_min, cfg,
                                          exact_labels=False))
         np.testing.assert_array_equal(fast, slow, err_msg=f"{d_min},{d_max}")
+
+
+def test_detect_occlusion_custom_label_base():
+    """Maps whose labels come from a non-default base (e.g. the right
+    view's d_min_right labels) must pass ``dmin`` so the select tree
+    enumerates the right label set (review r5) — output must equal the
+    oracle's gather for those labels."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stereo_matching_cuda_tpu import reference as R
+    from stereo_matching_cuda_tpu.config import DEFAULT_CONFIG as CFG
+    from stereo_matching_cuda_tpu.ops.occlusion import detect_occlusion
+
+    rng = np.random.default_rng(3)
+    base = CFG.d_min_right                       # labels 0..15
+    dl = rng.integers(base, base + CFG.size_d, (24, 96)).astype(np.float32)
+    dr = rng.integers(CFG.d_min, CFG.d_max + 1, (24, 96)).astype(np.float32)
+    got = np.asarray(detect_occlusion(
+        jnp.asarray(dl), jnp.asarray(dr), CFG.d_occlusion, CFG, dmin=base))
+    want = R.detect_occlusion(dl, dr, CFG.d_occlusion, CFG)
+    np.testing.assert_array_equal(got, want)
